@@ -135,14 +135,18 @@ def matrix_to_quat(R: jax.Array) -> jax.Array:
 
 
 def so3_exp_quat(phi: jax.Array) -> jax.Array:
-    """axis-angle 3-vector -> wxyz quaternion, Taylor-safe near 0."""
+    """axis-angle 3-vector -> wxyz quaternion.
+
+    Taylor-safe AND autodiff-safe at phi = 0: the sqrt argument is guarded
+    with the safe-where pattern so jacfwd/jacrev at the origin (the LM
+    retraction linearisation point) never sees a d(sqrt)(0) = inf."""
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
-    half = 0.5 * theta
     small = theta_sq < 1e-12
-    sinc_half = jnp.where(small, 0.5 - theta_sq / 48.0,
-                          jnp.sin(half) / jnp.where(small, 1.0, theta))
-    w = jnp.cos(half)
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
+    half = 0.5 * theta
+    sinc_half = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
+    w = jnp.where(small, 1.0 - theta_sq / 8.0, jnp.cos(half))
     xyz = sinc_half * phi
     return jnp.concatenate([w, xyz], axis=-1)
 

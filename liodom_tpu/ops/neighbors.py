@@ -1,0 +1,141 @@
+"""Correspondence search: exact kNN + PCA line fit.
+
+The reference rebuilds a ``pcl::KdTreeFLANN`` over the local map every solver
+iteration and runs per-edge 5-NN queries (laser_odometry.cc:318-323).  A tree
+is the wrong shape for a TPU; instead we do **exact brute-force kNN** — a
+distance matrix in tiles with a running top-k merge.  For the sizes LiODOM
+works at (~5k edges x ~30-90k map points) this is a few hundred MFLOPs of
+regular vector math: microseconds of MXU/VPU time, no build phase, exactly
+the same answers as FLANN's exact search.
+
+The line test (laser_odometry.cc:325-357) — centroid + covariance of the 5
+neighbours, accept when the largest eigenvalue dominates (lambda_max >
+3 * lambda_mid), endpoints = 2 nearest neighbours — uses a closed-form
+symmetric 3x3 eigenvalue solve instead of an iterative eigensolver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(query: jax.Array, qmask: jax.Array, ref: jax.Array, rmask: jax.Array,
+        k: int = 5, chunk: int = 4096) -> Tuple[jax.Array, jax.Array]:
+    """Exact k-nearest-neighbours by squared Euclidean distance.
+
+    query: (E, 3), qmask: (E,) bool, ref: (M, 3), rmask: (M,) bool.
+    Returns (sq_dists (E, k) ascending, indices (E, k) into ref).
+    Invalid ref points never appear as neighbours (distance _BIG); invalid
+    queries get _BIG distances.
+    """
+    e = query.shape[0]
+    m = ref.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        ref = jnp.pad(ref, ((0, pad), (0, 0)))
+        rmask = jnp.pad(rmask, (0, pad))
+    mm = ref.shape[0]
+    n_chunks = mm // chunk
+    ref_c = ref.reshape(n_chunks, chunk, 3)
+    rmask_c = rmask.reshape(n_chunks, chunk)
+
+    q_sq = jnp.sum(query * query, axis=-1, keepdims=True)  # (E, 1)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        rc, rm, off = inp
+        r_sq = jnp.sum(rc * rc, axis=-1)  # (chunk,)
+        # d2 = |q|^2 - 2 q.r + |r|^2 ; the q.r term rides the MXU
+        d2 = q_sq - 2.0 * (query @ rc.T) + r_sq[None, :]
+        d2 = jnp.where(rm[None, :], d2, _BIG)
+        cd, ci = jax.lax.top_k(-d2, k)  # (E, k) largest of -d2 = smallest d2
+        cd = -cd
+        ci = ci + off
+        # merge with running best
+        alld = jnp.concatenate([best_d, cd], axis=1)   # (E, 2k)
+        alli = jnp.concatenate([best_i, ci], axis=1)
+        md, sel = jax.lax.top_k(-alld, k)
+        best_d = -md
+        best_i = jnp.take_along_axis(alli, sel, axis=1)
+        return (best_d, best_i), None
+
+    init = (jnp.full((e, k), _BIG, dtype=query.dtype),
+            jnp.zeros((e, k), dtype=jnp.int32))
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = jax.lax.scan(body, init, (ref_c, rmask_c, offs))
+    best_d = jnp.where(qmask[:, None], best_d, _BIG)
+    # clamp out-of-range pad indices (only reachable when everything invalid)
+    best_i = jnp.minimum(best_i, m - 1)
+    return jnp.maximum(best_d, 0.0), best_i
+
+
+def sym3_eigenvalues(A: jax.Array) -> jax.Array:
+    """Eigenvalues of symmetric 3x3 matrices (..., 3, 3), ascending.
+
+    Closed-form trigonometric (Cardano) method — the TPU-friendly replacement
+    for Eigen::SelfAdjointEigenSolver (laser_odometry.cc:342-344).
+    """
+    a00 = A[..., 0, 0]
+    a11 = A[..., 1, 1]
+    a22 = A[..., 2, 2]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a12 = A[..., 1, 2]
+
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = ((a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.where(p > 0, p, 1.0)
+
+    b00, b11, b22 = (a00 - q) / safe_p, (a11 - q) / safe_p, (a22 - q) / safe_p
+    b01, b02, b12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
+    detB = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_max = q + 2.0 * p * jnp.cos(phi)
+    e_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_max - e_min
+    eigs = jnp.stack([e_min, e_mid, e_max], axis=-1)
+    # p == 0: A = q I, all eigenvalues equal q
+    return jnp.where((p > 0)[..., None], eigs, jnp.broadcast_to(q[..., None], eigs.shape))
+
+
+class LineCorrespondences(NamedTuple):
+    """Per-edge line-correspondence data for the point-to-line factors."""
+
+    lpa: jax.Array    # (E, 3) first line point (nearest neighbour)
+    lpb: jax.Array    # (E, 3) second line point (2nd nearest)
+    valid: jax.Array  # (E,) bool — edge passed distance + eigenvalue gates
+
+
+@partial(jax.jit, static_argnames=("k", "max_sq_dist", "eig_ratio", "chunk"))
+def line_correspondences(edges_world: jax.Array, emask: jax.Array,
+                         map_pts: jax.Array, mmask: jax.Array,
+                         k: int = 5, max_sq_dist: float = 1.0,
+                         eig_ratio: float = 3.0,
+                         chunk: int = 4096) -> LineCorrespondences:
+    """Full correspondence stage (laser_odometry.cc:318-362):
+
+    per transformed edge: 5-NN in the matching map; accept when the 5th NN is
+    within ``max_sq_dist``; fit the neighbourhood covariance; require
+    lambda_max > eig_ratio * lambda_mid; line endpoints = 2 nearest
+    neighbours."""
+    d2, idx = knn(edges_world, emask, map_pts, mmask, k=k, chunk=chunk)
+    near = map_pts[idx]                        # (E, k, 3)
+    center = jnp.mean(near, axis=1, keepdims=True)
+    zm = near - center
+    cov = jnp.einsum("eki,ekj->eij", zm, zm)   # un-normalised, like the ref
+    eigs = sym3_eigenvalues(cov)
+    ok = (d2[:, k - 1] < max_sq_dist) & (eigs[:, 2] > eig_ratio * eigs[:, 1])
+    ok = ok & emask
+    return LineCorrespondences(near[:, 0, :], near[:, 1, :], ok)

@@ -1,0 +1,203 @@
+"""Pose solver: weighted point-to-line residuals + Huber Levenberg-Marquardt.
+
+Replaces the reference's Ceres stack (factors.hpp + laser_odometry.cc:196-228:
+autodiff ``Point2LineFactor``, HuberLoss(0.2), EigenQuaternionParameterization,
+DENSE_QR, 4 LM iterations) with a TPU-shaped solver:
+
+* the residual and its **analytic Jacobian** w.r.t. the 6-dim SE(3) tangent
+  (left-multiplicative quaternion retraction) are batched over all
+  correspondences at once;
+* Huber is applied as IRLS weights;
+* the normal equations reduce to a 6x6 system — an einsum the MXU eats, and
+  under SPMD a single ``psum`` when correspondences are sharded across chips;
+* LM damping with accept/reject runs as a fixed-iteration ``fori_loop``.
+
+Residual definition follows factors.hpp:71-105 exactly, including the
+headline distance weight ``w = 1.01 - d_norm`` where ``d_norm`` is the XY
+range of ``curr_point - t`` normalised by [min_range, max_range] — note the
+weight depends on ``t``, and (like Ceres autodiff) the Jacobian includes that
+term.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from liodom_tpu.core import pose as se3
+from liodom_tpu.core.pose import Pose
+
+
+def _skew(v: jax.Array) -> jax.Array:
+    """(..., 3) -> (..., 3, 3) cross-product matrix."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], axis=-1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
+        jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
+    ], axis=-2)
+
+
+def point_to_line_residual(pose: Pose, cp: jax.Array, lpa: jax.Array,
+                           lpb: jax.Array, min_range: float,
+                           max_range: float) -> jax.Array:
+    """Point2LineFactor residual (factors.hpp:71-105), batched over (..., 3).
+
+    r = w * (lp - lpa) x (lp - lpb) / ||lpa - lpb||,  lp = R cp + t,
+    w = 1.01 - (||(cp - t)_xy|| - min) / (max - min).
+    """
+    lp = se3.quat_rotate(pose.q, cp) + pose.t
+    nu = jnp.cross(lp - lpa, lp - lpb)
+    de = lpa - lpb
+    de_norm = jnp.linalg.norm(de, axis=-1, keepdims=True)
+    de_norm = jnp.maximum(de_norm, 1e-12)
+    cp_l = cp - pose.t
+    d = jnp.sqrt(cp_l[..., 0] ** 2 + cp_l[..., 1] ** 2)
+    dn = (d - min_range) / (max_range - min_range)
+    w = 1.01 - dn
+    return w[..., None] * nu / de_norm
+
+
+def point_to_line_jacobian(pose: Pose, cp: jax.Array, lpa: jax.Array,
+                           lpb: jax.Array, min_range: float,
+                           max_range: float) -> Tuple[jax.Array, jax.Array]:
+    """Residual + analytic Jacobian w.r.t. the 6-dim tangent (dtheta, dt).
+
+    Retraction: q' = exp(dtheta) * q (matching se3.retract), t' = t + dt.
+    d lp / d dtheta = -skew(R cp);  d lp / d dt = I.
+    d nu / d lp = skew(lpb - lpa)   (for nu = (lp-lpa) x (lp-lpb)).
+    d w  / d dt = +(cp - t)_xy / (||(cp-t)_xy|| (max-min))  (z component 0).
+
+    Returns (residual (..., 3), J (..., 3, 6)).
+    """
+    u = se3.quat_rotate(pose.q, cp)            # R cp
+    lp = u + pose.t
+    a = lp - lpa
+    b = lp - lpb
+    nu = jnp.cross(a, b)
+    de = lpa - lpb
+    de_norm = jnp.maximum(jnp.linalg.norm(de, axis=-1, keepdims=True), 1e-12)
+    f = nu / de_norm                           # (..., 3)
+
+    cp_l = cp - pose.t
+    d = jnp.sqrt(jnp.maximum(cp_l[..., 0] ** 2 + cp_l[..., 1] ** 2, 1e-12))
+    inv_span = 1.0 / (max_range - min_range)
+    dn = (d - min_range) * inv_span
+    w = (1.01 - dn)[..., None]                 # (..., 1)
+
+    r = w * f
+
+    # d nu/d lp = skew(a) - skew(b) = skew(a - b) = skew(lpb - lpa)
+    dnu_dlp = _skew(lpb - lpa)                 # (..., 3, 3)
+    df_dlp = dnu_dlp / de_norm[..., None]
+    # d lp/d dtheta = -skew(u)
+    dr_dtheta = w[..., None] * (df_dlp @ (-_skew(u)))          # (..., 3, 3)
+    # d w/d dt (z = 0)
+    dw_dt = jnp.stack([
+        cp_l[..., 0] / d * inv_span,
+        cp_l[..., 1] / d * inv_span,
+        jnp.zeros_like(d),
+    ], axis=-1)                                                 # (..., 3)
+    dr_dt = (w[..., None] * df_dlp
+             + f[..., :, None] * dw_dt[..., None, :])           # (..., 3, 3)
+    J = jnp.concatenate([dr_dtheta, dr_dt], axis=-1)            # (..., 3, 6)
+    return r, J
+
+
+def huber_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
+    """IRLS weight rho'(s) for Ceres HuberLoss(delta): 1 inside, delta/sqrt(s)
+    outside (laser_odometry.cc:201)."""
+    s = jnp.maximum(sq_norm, 1e-20)
+    return jnp.where(s <= delta * delta, 1.0, delta / jnp.sqrt(s))
+
+
+def huber_cost(sq_norm: jax.Array, delta: float) -> jax.Array:
+    """rho(s) for HuberLoss: s inside, 2 delta sqrt(s) - delta^2 outside."""
+    d2 = delta * delta
+    return jnp.where(sq_norm <= d2, sq_norm,
+                     2.0 * delta * jnp.sqrt(jnp.maximum(sq_norm, 0.0)) - d2)
+
+
+class NormalEquations(NamedTuple):
+    JtJ: jax.Array   # (6, 6)
+    Jtr: jax.Array   # (6,)
+    cost: jax.Array  # () robust cost 0.5 * sum rho(|r|^2)
+
+
+def build_normal_equations(pose: Pose, cp: jax.Array, lpa: jax.Array,
+                           lpb: jax.Array, valid: jax.Array,
+                           min_range: float, max_range: float,
+                           huber_delta: float) -> NormalEquations:
+    """Accumulate Huber-weighted Gauss-Newton normal equations over all
+    correspondences.  Under SPMD, psum the three outputs across the shard
+    axis — they are plain sums over residual blocks."""
+    r, J = point_to_line_jacobian(pose, cp, lpa, lpb, min_range, max_range)
+    s = jnp.sum(r * r, axis=-1)
+    wi = huber_weight(s, huber_delta) * valid.astype(r.dtype)
+    JtJ = jnp.einsum("eab,eac,e->bc", J, J, wi)
+    Jtr = jnp.einsum("eab,ea,e->b", J, r, wi)
+    cost = 0.5 * jnp.sum(huber_cost(s, huber_delta) * valid.astype(r.dtype))
+    return NormalEquations(JtJ, Jtr, cost)
+
+
+def robust_cost(pose: Pose, cp, lpa, lpb, valid, min_range, max_range,
+                huber_delta) -> jax.Array:
+    r = point_to_line_residual(pose, cp, lpa, lpb, min_range, max_range)
+    s = jnp.sum(r * r, axis=-1)
+    return 0.5 * jnp.sum(huber_cost(s, huber_delta) * valid.astype(r.dtype))
+
+
+def lm_solve(pose0: Pose, cp: jax.Array, lpa: jax.Array, lpb: jax.Array,
+             valid: jax.Array, *, min_range: float, max_range: float,
+             huber_delta: float = 0.2, iters: int = 4,
+             init_lambda: float = 1e-4,
+             axis_name: str | None = None) -> Pose:
+    """Levenberg-Marquardt on the SE(3) tangent.
+
+    Matches the reference solver budget: ``iters`` = 4 inner iterations
+    (laser_odometry.cc:214); correspondences stay fixed (re-association is the
+    caller's 2x outer loop, laser_odometry.cc:198).
+
+    ``axis_name``: if set, the 6x6 normal equations and costs are psum'd over
+    that mesh axis — edge-sharded multi-chip solving."""
+
+    dtype = pose0.t.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    def reduce_eqs(ne: NormalEquations) -> NormalEquations:
+        if axis_name is None:
+            return ne
+        return NormalEquations(
+            jax.lax.psum(ne.JtJ, axis_name),
+            jax.lax.psum(ne.Jtr, axis_name),
+            jax.lax.psum(ne.cost, axis_name))
+
+    def step(_, carry):
+        q, t, lam, cost = carry
+        pose = Pose(q, t)
+        ne = reduce_eqs(build_normal_equations(
+            pose, cp, lpa, lpb, valid, min_range, max_range, huber_delta))
+        # damped system: (JtJ + lam * diag(JtJ) + eps I) delta = -Jtr
+        damped = (ne.JtJ + lam * jnp.diag(jnp.diag(ne.JtJ))
+                  + 1e-8 * eye6)
+        delta = jnp.linalg.solve(damped, -ne.Jtr)
+        cand = se3.retract(pose, delta)
+        new_cost = robust_cost(cand, cp, lpa, lpb, valid, min_range,
+                               max_range, huber_delta)
+        if axis_name is not None:
+            new_cost = jax.lax.psum(new_cost, axis_name)
+        accept = new_cost < cost
+        q = jnp.where(accept, cand.q, q)
+        t = jnp.where(accept, cand.t, t)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return q, t, lam, cost
+
+    ne0 = reduce_eqs(build_normal_equations(
+        pose0, cp, lpa, lpb, valid, min_range, max_range, huber_delta))
+    init = (pose0.q, pose0.t, jnp.asarray(init_lambda, dtype), ne0.cost)
+    q, t, _, _ = jax.lax.fori_loop(0, iters, step, init)
+    return Pose(q, t)
