@@ -1,0 +1,56 @@
+"""Sliding-window local map as a fixed-shape ring buffer.
+
+The reference's ``LocalMapManager`` (laser_odometry.cc:24-69) keeps a
+concatenated cloud of the last N feature frames and evicts the oldest frame's
+points with an ExtractIndices negative filter.  Functionally that's a ring
+buffer: here eviction is just overwriting the slot — pure index arithmetic,
+no data movement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class WindowState(NamedTuple):
+    xyz: jax.Array      # (K, E, 3) per-frame edge clouds
+    valid: jax.Array    # (K, E) bool
+    next_slot: jax.Array  # () int32 — ring write pointer
+    nframes: jax.Array    # () int32 — frames currently held (<= K)
+
+    @staticmethod
+    def create(max_frames: int, capacity: int, dtype=jnp.float32) -> "WindowState":
+        return WindowState(
+            jnp.zeros((max_frames, capacity, 3), dtype),
+            jnp.zeros((max_frames, capacity), bool),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_frames(self) -> int:
+        return self.xyz.shape[0]
+
+
+def push(state: WindowState, xyz: jax.Array, valid: jax.Array) -> WindowState:
+    """Add a frame, evicting the oldest when full (LocalMapManager::
+    addPointCloud, laser_odometry.cc:34-60)."""
+    k = state.max_frames
+    slot = state.next_slot
+    return WindowState(
+        jax.lax.dynamic_update_index_in_dim(state.xyz, xyz, slot, axis=0),
+        jax.lax.dynamic_update_index_in_dim(state.valid, valid, slot, axis=0),
+        (slot + 1) % k,
+        jnp.minimum(state.nframes + 1, k),
+    )
+
+
+def flatten(state: WindowState) -> Tuple[jax.Array, jax.Array]:
+    """Concatenated window cloud (K*E, 3) + mask (slots beyond nframes off)."""
+    k, e, _ = state.xyz.shape
+    slot_live = jnp.arange(k, dtype=jnp.int32) < state.nframes
+    mask = state.valid & slot_live[:, None]
+    return state.xyz.reshape(k * e, 3), mask.reshape(k * e)
