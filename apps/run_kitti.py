@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Run the engine on a KITTI odometry sequence.
+
+TPU-native equivalent of ``roslaunch liodom liodom.launch`` + a KITTI rosbag
+(launch/liodom.launch:11-36): streams ``.bin`` scans through the compiled
+pipeline (native prefetcher feeding the device), writes the reference's five
+results files (stats.cc:73-132), and — when ground truth is present — scores
+ATE/RPE in the velodyne frame.
+
+Usage:
+    python apps/run_kitti.py --root /data/kitti_odometry --seq 00
+    python apps/run_kitti.py --root ... --seq 08 --mapping --frames 500
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="KITTI odometry root")
+    ap.add_argument("--seq", default="00")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--local-map-size", type=int, default=15,
+                    help="prev_frames (launch/liodom.launch:23 uses 15)")
+    ap.add_argument("--mapping", action="store_true",
+                    help="adaptive local mapping feedback loop")
+    ap.add_argument("--filter-local-map", action="store_true")
+    ap.add_argument("--scan-lines", type=int, default=64)
+    ap.add_argument("--results-dir", default=None)
+    ap.add_argument("--sync-every", type=int, default=50,
+                    help="host sync cadence (frames); poses are fetched in "
+                    "blocks to amortize device round-trips")
+    args = ap.parse_args()
+
+    from liodom_tpu import LiodomConfig, MapConfig
+    from liodom_tpu.core.io import KittiSequence
+    from liodom_tpu.odometry import pipeline as P
+    from liodom_tpu.runtime.channels import FrequencyMonitor
+    from liodom_tpu.runtime.stats import Stats, ate_rmse, rpe
+
+    cfg = LiodomConfig(local_map_size=args.local_map_size,
+                       scan_lines=args.scan_lines,
+                       filter_local_map=args.filter_local_map,
+                       mapping=args.mapping)
+    seq = KittiSequence(args.root, args.seq)
+    n = len(seq) if args.frames is None else min(args.frames, len(seq))
+    print(f"sequence {args.seq}: {n} scans, mapping={args.mapping}")
+
+    if args.mapping:
+        from liodom_tpu.mapping import init_combined, combined_step
+        mcfg = MapConfig(voxel_xysize=40.0, voxel_zsize=50.0, resolution=0.4,
+                         cells_xy=3, cells_z=2)  # launch/liodom.launch:46-52
+        state, mstate = init_combined(cfg, mcfg)
+    else:
+        state = P.init_state(cfg)
+
+    stats = Stats()
+    freq = FrequencyMonitor()
+    poses, pending = [], []
+    t_start = time.perf_counter()
+    t_compile = None
+    sensor_dt = 0.1 if seq.times is None else float(np.median(
+        np.diff(seq.times))) if len(seq) > 1 else 0.1
+
+    for i, (xyz, valid) in enumerate(seq.iter_padded(cfg.max_points)):
+        if i >= n:
+            break
+        freq.tick_input(t=i * sensor_dt)
+        t0 = time.perf_counter()
+        jx, jv = jnp.asarray(xyz), jnp.asarray(valid)
+        if args.mapping:
+            state, mstate, pose, n_edges = combined_step(
+                state, mstate, jx, jv, cfg, mcfg)
+        else:
+            state, pose, n_edges = P.full_step(state, jx, jv, cfg)
+        pending.append((pose, n_edges))
+        if i == 0 or (i + 1) % args.sync_every == 0 or i == n - 1:
+            for p_, ne_ in pending:
+                stats.add_pose(np.asarray(p_.matrix(), np.float64))
+                stats.add_num_feats(int(ne_))
+                poses.append(np.asarray(p_.matrix(), np.float64))
+            pending.clear()
+            dt = time.perf_counter() - t0
+            if i == 0:
+                t_compile = dt
+        stats.add_laser_odometry_time((time.perf_counter() - t0) * 1e3)
+        freq.tick_output(t=i * sensor_dt + (time.perf_counter() - t_start))
+
+    wall = time.perf_counter() - t_start - (t_compile or 0.0)
+    print(f"compile: {t_compile:.1f} s; "
+          f"{n - 1} frames in {wall:.1f} s = {(n - 1) / max(wall, 1e-9):.1f} "
+          f"scans/s (sensor rate {1.0 / sensor_dt:.0f} Hz)")
+
+    est = np.stack(poses)[:, :3, :4]
+    if args.results_dir:
+        stats.write_results(args.results_dir)
+        print(f"results in {args.results_dir}")
+
+    gt = seq.gt_velo()
+    if gt is not None:
+        gt = gt[:n, :3, :4]
+        print(f"ATE (rmse, unaligned): {ate_rmse(est, gt):.3f} m")
+        t_err, r_err = rpe(est, gt, delta=1)
+        print(f"RPE @1 frame: {t_err:.4f} m, {np.degrees(r_err):.4f} deg")
+        if len(est) > 100:
+            t_err, r_err = rpe(est, gt, delta=100)
+            print(f"RPE @100 frames: {t_err:.3f} m, "
+                  f"{np.degrees(r_err):.3f} deg")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

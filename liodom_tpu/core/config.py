@@ -52,6 +52,14 @@ class LiodomConfig:
     knn_k: int = 5                  # nearest neighbours per edge (laser_odometry.cc:323)
     knn_max_sq_dist: float = 1.0    # accept gate on 5th NN (laser_odometry.cc:324)
     eig_ratio: float = 3.0          # line test: lambda_max > 3 * lambda_mid (laser_odometry.cc:344)
+    # Minimum separation of the two line endpoints.  No reference equivalent:
+    # when the matching map holds duplicate points (window point == its own
+    # single-point-leaf centroid from the received map-cell feedback), the
+    # 2-NN "line" has lpa == lpb and the factors.hpp:89 residual divides
+    # 0-magnitude cross products by ~0 — numerically meaningless rows that
+    # poison the normal equations.  The reference would feed Ceres NaNs in
+    # the same situation; we gate instead.
+    min_line_sep: float = 0.01      # metres
     local_map_voxel: float = 0.4    # leaf for the optional window filter (laser_odometry.cc:290)
 
     # --- TPU static-shape capacities (new; no reference equivalent) ---
@@ -98,9 +106,8 @@ class MapConfig:
     base_frame: str = "base_link"
 
     # --- TPU capacities ---
-    max_cells: int = 512            # open-addressing table capacity
-    cell_capacity: int = 16384      # padded points per cell
-    batch_new_cells: int = 64       # max distinct new cells inserted per update
+    map_capacity: int = 262144      # padded map point-soup rows (post-filter)
+    local_map_capacity: int = 65536  # padded rows returned by get_local_map
 
     def replace(self, **kw) -> "MapConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,122 @@
+"""Mapping service + the odometry<->mapping feedback loop.
+
+The reference runs mapping as a SECOND OS PROCESS (liodom_mapping_node.cc)
+fed over ROS topics: the odometry node publishes edges + a TF pose, the
+mapper inserts them into the hash-grid map and publishes back a local map
+that the odometer merges into its matching map when ``mapping:=true``
+(liodom_node.cc:57-64 -> laser_odometry.cc:310-314) — "adaptive local
+mapping".
+
+Here that loop has two deployments:
+
+* :func:`combined_step` — odometry + map update + local-map extraction fused
+  into ONE compiled program (no host round-trips; the feedback the reference
+  ships over TCPROS becomes an in-program data dependency).  The extracted
+  local map feeds the *next* frame's matching map, mirroring the reference's
+  one-message latency.
+* :class:`MappingService` — a host-side service object mirroring the
+  two-process architecture (async update cadence decoupled from the sensor
+  rate, latched re-publish semantics) for when mapping should run slower
+  than odometry.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liodom_tpu.core.config import LiodomConfig, MapConfig
+from liodom_tpu.core.pose import Pose
+from liodom_tpu.mapping.grid import (MapState, get_local_map, get_map,
+                                     init_map, update_map)
+from liodom_tpu.odometry.pipeline import OdomState, full_step, init_state
+
+
+def init_combined(cfg: LiodomConfig, mcfg: MapConfig
+                  ) -> Tuple[OdomState, MapState]:
+    if not cfg.mapping:
+        raise ValueError("combined pipeline requires cfg.mapping=True")
+    odom = init_state(cfg, received_capacity=mcfg.local_map_capacity)
+    return odom, init_map(mcfg.map_capacity)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mcfg"))
+def combined_step(odom_state: OdomState, map_state: MapState,
+                  raw_xyz: jax.Array, raw_valid: jax.Array,
+                  cfg: LiodomConfig, mcfg: MapConfig
+                  ) -> Tuple[OdomState, MapState, Pose, jax.Array]:
+    """One frame of odometry + mapping, fully fused.
+
+    Order mirrors the reference dataflow: odometry solves against the map
+    received *last* frame (laser_odometry.cc:310-314), then the mapper
+    inserts this frame's edges at the solved pose (liodom_mapping_node.cc:
+    45-90) and the refreshed local map is handed to the next frame."""
+    from liodom_tpu.core.frame import RawScan
+    from liodom_tpu.ops.features import extract_features
+
+    edges = extract_features(RawScan(raw_xyz, raw_valid), cfg)
+    new_odom, pose = _odom_only(odom_state, edges, cfg)
+    map_state = update_map(map_state, edges.xyz, edges.valid, pose, mcfg)
+    loc_xyz, loc_valid = get_local_map(
+        map_state, pose.t, mcfg, capacity=mcfg.local_map_capacity)
+    new_odom = new_odom._replace(received_xyz=loc_xyz,
+                                 received_valid=loc_valid)
+    return new_odom, map_state, pose, edges.num_valid()
+
+
+def _odom_only(state: OdomState, edges, cfg: LiodomConfig):
+    from liodom_tpu.odometry.pipeline import odometry_step
+    return odometry_step(state, edges, cfg)
+
+
+class MappingService:
+    """Host-side mapper mirroring liodom_mapping_node.cc.
+
+    The reference node consumes `/liodom/edges` + the TF pose, updates the
+    map on every message, publishes the full map and — when anyone listens —
+    the local map around the current pose, re-publishing latched copies every
+    ``publish_period`` if stale (liodom_mapping_node.cc:92-106)."""
+
+    def __init__(self, mcfg: MapConfig, publish_period: float = 3.0,
+                 stale_after: float = 5.0):
+        self.mcfg = mcfg
+        self.state = init_map(mcfg.map_capacity)
+        self.publish_period = publish_period
+        self.stale_after = stale_after
+        self._last_update_t = 0.0
+        self._last_publish_t = 0.0
+        self._latched_map: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def update(self, edges_xyz, edges_valid, pose: Pose,
+               now: Optional[float] = None) -> None:
+        """lidarClb (liodom_mapping_node.cc:45-90): insert edges at pose."""
+        self.state = update_map(self.state, edges_xyz, edges_valid, pose,
+                                self.mcfg)
+        self._last_update_t = time.monotonic() if now is None else now
+
+    def full_map(self, now: Optional[float] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        xyz, valid = get_map(self.state)
+        out = (np.asarray(xyz), np.asarray(valid))
+        self._latched_map = out
+        self._last_publish_t = time.monotonic() if now is None else now
+        return out
+
+    def local_map(self, position) -> Tuple[jax.Array, jax.Array]:
+        return get_local_map(self.state, jnp.asarray(position), self.mcfg,
+                             capacity=self.mcfg.local_map_capacity)
+
+    def maybe_republish(self, now: Optional[float] = None):
+        """timerClb (liodom_mapping_node.cc:92-106): return the latched map
+        if it has gone stale, else None."""
+        now = time.monotonic() if now is None else now
+        if (self._latched_map is not None
+                and now - self._last_publish_t > self.stale_after):
+            self._last_publish_t = now
+            return self._latched_map
+        return None

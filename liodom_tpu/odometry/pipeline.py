@@ -115,7 +115,7 @@ def odometry_step(state: OdomState, edges: EdgeCloud, cfg: LiodomConfig,
         corr = line_correspondences(
             edges_world, edges.valid, map_xyz, map_valid,
             k=cfg.knn_k, max_sq_dist=cfg.knn_max_sq_dist,
-            eig_ratio=cfg.eig_ratio)
+            eig_ratio=cfg.eig_ratio, min_line_sep=cfg.min_line_sep)
         pose = lm_solve(pose, edges.xyz, corr.lpa, corr.lpb, corr.valid,
                         min_range=cfg.min_range, max_range=cfg.max_range,
                         huber_delta=cfg.huber_delta, iters=cfg.inner_iters)

@@ -118,24 +118,29 @@ class LineCorrespondences(NamedTuple):
     valid: jax.Array  # (E,) bool — edge passed distance + eigenvalue gates
 
 
-@partial(jax.jit, static_argnames=("k", "max_sq_dist", "eig_ratio", "chunk"))
+@partial(jax.jit, static_argnames=("k", "max_sq_dist", "eig_ratio", "chunk",
+                                   "min_line_sep"))
 def line_correspondences(edges_world: jax.Array, emask: jax.Array,
                          map_pts: jax.Array, mmask: jax.Array,
                          k: int = 5, max_sq_dist: float = 1.0,
                          eig_ratio: float = 3.0,
+                         min_line_sep: float = 0.01,
                          chunk: int = 4096) -> LineCorrespondences:
     """Full correspondence stage (laser_odometry.cc:318-362):
 
     per transformed edge: 5-NN in the matching map; accept when the 5th NN is
     within ``max_sq_dist``; fit the neighbourhood covariance; require
     lambda_max > eig_ratio * lambda_mid; line endpoints = 2 nearest
-    neighbours."""
+    neighbours.  Additionally requires the endpoints to be at least
+    ``min_line_sep`` apart (see LiodomConfig.min_line_sep — degenerate
+    duplicate-point "lines" are numerically meaningless)."""
     d2, idx = knn(edges_world, emask, map_pts, mmask, k=k, chunk=chunk)
     near = map_pts[idx]                        # (E, k, 3)
     center = jnp.mean(near, axis=1, keepdims=True)
     zm = near - center
     cov = jnp.einsum("eki,ekj->eij", zm, zm)   # un-normalised, like the ref
     eigs = sym3_eigenvalues(cov)
+    sep_sq = jnp.sum((near[:, 0, :] - near[:, 1, :]) ** 2, axis=-1)
     ok = (d2[:, k - 1] < max_sq_dist) & (eigs[:, 2] > eig_ratio * eigs[:, 1])
-    ok = ok & emask
+    ok = ok & emask & (sep_sq > min_line_sep * min_line_sep)
     return LineCorrespondences(near[:, 0, :], near[:, 1, :], ok)

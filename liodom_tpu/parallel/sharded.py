@@ -67,8 +67,10 @@ def _sharded_correspondences(edges_world, emask, map_xyz, map_valid, cfg):
     zm = near - center
     cov = jnp.einsum("eki,ekj->eij", zm, zm)
     eigs = sym3_eigenvalues(cov)
+    sep_sq = jnp.sum((near[:, 0, :] - near[:, 1, :]) ** 2, axis=-1)
     ok = ((d2[:, k - 1] < cfg.knn_max_sq_dist)
-          & (eigs[:, 2] > cfg.eig_ratio * eigs[:, 1]) & emask)
+          & (eigs[:, 2] > cfg.eig_ratio * eigs[:, 1]) & emask
+          & (sep_sq > cfg.min_line_sep * cfg.min_line_sep))
     return near[:, 0, :], near[:, 1, :], ok
 
 

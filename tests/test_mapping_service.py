@@ -1,0 +1,76 @@
+"""Odometry<->mapping feedback loop (adaptive local mapping) tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from liodom_tpu.core.config import LiodomConfig, MapConfig
+from liodom_tpu.core.frame import RawScan
+from liodom_tpu.core.pose import Pose
+from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
+from liodom_tpu.mapping import (MappingService, combined_step, init_combined)
+
+CFG = LiodomConfig(max_points=16384, ring_width=256, local_map_size=3,
+                   mapping=True)
+MCFG = MapConfig(voxel_xysize=20.0, voxel_zsize=25.0, resolution=0.4,
+                 map_capacity=16384, local_map_capacity=4096)
+
+
+def make_scans(n, width=256, seed=0):
+    world = BoxWorld(seed=seed, extent=40.0, n_poles=30)
+    pos, yaws = drive_trajectory(n, speed=0.8, yaw_rate=0.01)
+    scans = []
+    for i in range(n):
+        s = world.render(pos[i], yaw_matrix(yaws[i]), width=width,
+                         noise=0.0, seed=seed + i)
+        scans.append(RawScan.from_points(jnp.array(s), CFG.max_points))
+    return scans, pos
+
+
+def test_combined_step_tracks_and_builds_map():
+    n = 6
+    scans, gt = make_scans(n)
+    odom, mstate = init_combined(CFG, MCFG)
+    errs = []
+    for i in range(n):
+        odom, mstate, pose, n_edges = combined_step(
+            odom, mstate, scans[i].xyz, scans[i].valid, CFG, MCFG)
+        errs.append(np.linalg.norm(np.asarray(pose.t) - gt[i]))
+    assert int(n_edges) > 100
+    # map built and feedback populated
+    assert int(jnp.sum(mstate.valid)) > 500
+    assert int(mstate.n_cells) >= 1
+    assert int(jnp.sum(odom.received_valid)) > 100
+    # pose error stays small over the little trajectory
+    assert float(np.max(errs)) < 0.5
+
+
+def test_combined_matches_reference_dataflow_latency():
+    """Frame k's matching map must NOT include frame k's own local-map
+    feedback (one-message latency like the reference's topic round-trip):
+    after the first step the received map reflects exactly frame 0's edges."""
+    scans, _ = make_scans(2)
+    odom, mstate = init_combined(CFG, MCFG)
+    odom1, mstate1, pose1, n1 = combined_step(
+        odom, mstate, scans[0].xyz, scans[0].valid, CFG, MCFG)
+    # feedback after frame 0 comes from a map holding only frame 0's edges
+    assert int(jnp.sum(odom.received_valid)) == 0            # before
+    got = int(jnp.sum(odom1.received_valid))
+    assert 0 < got <= int(jnp.sum(mstate1.valid))
+
+
+def test_mapping_service_host_path():
+    scans, gt = make_scans(3)
+    svc = MappingService(MCFG)
+    from liodom_tpu.ops.features import extract_features
+    for i in range(3):
+        edges = extract_features(scans[i], CFG)
+        pose = Pose(jnp.array([1.0, 0, 0, 0], jnp.float32),
+                    jnp.asarray(gt[i], jnp.float32))
+        svc.update(edges.xyz, edges.valid, pose, now=float(i))
+    xyz, valid = svc.full_map(now=3.0)
+    assert valid.sum() > 500
+    lx, lv = svc.local_map(gt[2])
+    assert int(jnp.sum(lv)) > 0
+    # latched republish: stale after 5 s
+    assert svc.maybe_republish(now=100.0) is not None
+    assert svc.maybe_republish(now=101.0) is None
