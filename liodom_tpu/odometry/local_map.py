@@ -37,12 +37,21 @@ class WindowState(NamedTuple):
 
 def push(state: WindowState, xyz: jax.Array, valid: jax.Array) -> WindowState:
     """Add a frame, evicting the oldest when full (LocalMapManager::
-    addPointCloud, laser_odometry.cc:34-60)."""
+    addPointCloud, laser_odometry.cc:34-60).
+
+    The frame is **compacted** (valid points moved to the front, stable) on
+    the way in: edge slots arrive ring-scattered and mostly empty, and a
+    front-packed layout lets the kNN kernel skip whole all-padding tiles
+    (ops/knn_pallas.py per-tile validity prefetch).  Point set and relative
+    order are unchanged, so results are identical."""
     k = state.max_frames
     slot = state.next_slot
+    order = jnp.argsort(~valid, stable=True)
+    xyz_c = jnp.where(valid[order][:, None], xyz[order], 0.0)
+    valid_c = valid[order]
     return WindowState(
-        jax.lax.dynamic_update_index_in_dim(state.xyz, xyz, slot, axis=0),
-        jax.lax.dynamic_update_index_in_dim(state.valid, valid, slot, axis=0),
+        jax.lax.dynamic_update_index_in_dim(state.xyz, xyz_c, slot, axis=0),
+        jax.lax.dynamic_update_index_in_dim(state.valid, valid_c, slot, axis=0),
         (slot + 1) % k,
         jnp.minimum(state.nframes + 1, k),
     )

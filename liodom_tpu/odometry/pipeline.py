@@ -97,6 +97,14 @@ def odometry_step(state: OdomState, edges: EdgeCloud, cfg: LiodomConfig,
 
     Mirrors the steady-state branch of LaserOdometer::operator()
     (laser_odometry.cc:138-267) with the solve loop of :196-228."""
+    # Front-compact the edge cloud (stable; point set unchanged): edge slots
+    # arrive ring-scattered and mostly empty, and a packed layout lets the
+    # Pallas kNN skip all-padding query tiles (ops/knn_pallas.py).
+    eorder = jnp.argsort(~edges.valid, stable=True)
+    evalid = edges.valid[eorder]
+    edges = EdgeCloud(
+        jnp.where(evalid[:, None], edges.xyz[eorder], 0.0), evalid)
+
     map_xyz, map_valid = _matching_map(state, cfg)
 
     # constant-velocity prediction (laser_odometry.cc:148-150)

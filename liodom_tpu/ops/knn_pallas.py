@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for exact brute-force k-nearest-neighbours.
+
+This is the #1 hot op of the frame loop (SURVEY.md §3.1: the reference
+rebuilds a ``pcl::KdTreeFLANN`` and runs 5-NN per edge twice per frame,
+laser_odometry.cc:318-323).  The XLA fallback (:func:`liodom_tpu.ops.
+neighbors.knn`) scans reference chunks with ``lax.top_k`` — which lowers to a
+sort on TPU and streams every (E, chunk) distance tile through HBM.  This
+kernel instead:
+
+* tiles queries over the grid and loops reference tiles sequentially
+  (TPU grids iterate the minor axis in order, so VMEM scratch carries the
+  running best-k across reference tiles);
+* computes the (TILE_E, TILE_M) squared-distance tile on the VPU from
+  coordinate planes — with K=3 there is nothing for the MXU to chew on, and
+  the elementwise form skips the ``|q|^2 - 2 q.r + |r|^2`` cancellation error
+  (which on TPU default-precision matmuls is metres large);
+* selects k minima by k masked argmin passes (k=5 ≪ log-sort cost) entirely
+  in VMEM — the distance tile never touches HBM;
+* **skips all-padding reference tiles**: a scalar-prefetched per-tile flag
+  (SMEM) gates the whole distance+selection body with ``pl.when``.  The
+  sliding-window local map is ≳80% padding (frames are front-compacted by
+  ``local_map.push``), so this is most of the win.
+
+Invalid reference points are encoded by the host wrapper as coordinates
+pushed ``FAR`` away (distance ~1e8, far beyond any accept gate but finite),
+so the kernel compute itself is maskless and branch-free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_FAR = 1.0e4  # invalid-point displacement (d2 >= ~9.7e7 >> max real d2)
+_KPAD = 128   # lane-aligned storage for the running best-k
+
+
+def _knn_kernel(flags_ref, q_ref, r_ref, out_d_ref, out_i_ref, best_d,
+                best_i, *, k: int, tile_m: int):
+    """One (query-tile, ref-tile) grid step.
+
+    flags_ref: (n_e_tiles * n_m_tiles,) int32 scalar-prefetch — 1 if this
+    (query tile, ref tile) pair needs computing (both non-empty and, under
+    radius pruning, their AABBs within the accept radius);  q_ref:
+    (TILE_E, 4) query coords [x y z 0];  r_ref: (4, TILE_M) ref coords;
+    best_d/best_i: (TILE_E, KPAD) VMEM scratch carried across ref tiles.
+    """
+    e_idx = pl.program_id(0)
+    m_idx = pl.program_id(1)
+    n_m = pl.num_programs(1)
+    tile_e = q_ref.shape[0]
+
+    @pl.when(m_idx == 0)
+    def _():
+        best_d[:] = jnp.full((tile_e, _KPAD), _BIG, jnp.float32)
+        best_i[:] = jnp.zeros((tile_e, _KPAD), jnp.int32)
+
+    @pl.when(flags_ref[e_idx * n_m + m_idx] != 0)
+    def _():
+        # (TILE_E, TILE_M) squared distances, pure VPU broadcasts.
+        dx = q_ref[:, 0:1] - r_ref[0:1, :]
+        dy = q_ref[:, 1:2] - r_ref[1:2, :]
+        dz = q_ref[:, 2:3] - r_ref[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz
+
+        # merge candidates with the carried best: width KPAD + TILE_M
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_m), 1)
+        cand_i = col0 + m_idx * tile_m
+        comb_d = jnp.concatenate([best_d[:], d2], axis=1)
+        comb_i = jnp.concatenate([best_i[:], cand_i], axis=1)
+        width = _KPAD + tile_m
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, width), 1)
+
+        new_d = []
+        new_i = []
+        for _ in range(k):
+            am = jnp.argmin(comb_d, axis=1).astype(jnp.int32)   # (TILE_E,)
+            onehot = cols == am[:, None]
+            new_d.append(jnp.min(comb_d, axis=1))
+            new_i.append(jnp.sum(jnp.where(onehot, comb_i, 0), axis=1))
+            comb_d = jnp.where(onehot, _BIG, comb_d)
+
+        pad_d = jnp.full((tile_e, _KPAD - k), _BIG, jnp.float32)
+        pad_i = jnp.zeros((tile_e, _KPAD - k), jnp.int32)
+        best_d[:] = jnp.concatenate(
+            [jnp.stack(new_d, axis=1), pad_d], axis=1)
+        best_i[:] = jnp.concatenate(
+            [jnp.stack(new_i, axis=1), pad_i], axis=1)
+
+    @pl.when(m_idx == n_m - 1)
+    def _():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = best_i[:]
+
+
+def _spatial_order(xyz: jax.Array, mask: jax.Array,
+                   cell: float = 4.0) -> jax.Array:
+    """Permutation grouping valid points by coarse spatial cell (x-major
+    lexicographic; 64-cell wrap per axis).  Wrap aliasing only weakens tile
+    locality — correctness never depends on the key, only on the per-tile
+    AABBs computed from real coordinates.  Invalid points sort last."""
+    c = jnp.clip(jnp.floor(xyz / cell).astype(jnp.int32) & 63, 0, 63)
+    key = (c[:, 0] << 12) | (c[:, 1] << 6) | c[:, 2]
+    key = jnp.where(mask, key, jnp.int32(1 << 20))
+    return jnp.argsort(key, stable=True)
+
+
+def _tile_aabbs(xyz: jax.Array, mask: jax.Array, tile: int):
+    """Per-tile axis-aligned bounding boxes over valid points + non-empty
+    flag.  xyz (N, 3) with N % tile == 0."""
+    n = xyz.shape[0] // tile
+    x = xyz.reshape(n, tile, 3)
+    v = mask.reshape(n, tile, 1)
+    lo = jnp.min(jnp.where(v, x, _BIG), axis=1)    # (n, 3)
+    hi = jnp.max(jnp.where(v, x, -_BIG), axis=1)
+    return lo, hi, jnp.any(v[:, :, 0], axis=1)
+
+
+def _pair_flags(qlo, qhi, qne, rlo, rhi, rne, max_radius):
+    """(n_e, n_m) int32: 1 where the tile AABBs are within ``max_radius``
+    (None -> all non-empty pairs)."""
+    ne = qne[:, None] & rne[None, :]
+    if max_radius is None:
+        return ne.astype(jnp.int32)
+    gap = jnp.maximum(
+        0.0, jnp.maximum(qlo[:, None, :] - rhi[None, :, :],
+                         rlo[None, :, :] - qhi[:, None, :]))  # (ne, nm, 3)
+    d2 = jnp.sum(gap * gap, axis=-1)
+    return (ne & (d2 <= max_radius * max_radius)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_e", "tile_m",
+                                             "interpret", "max_radius"))
+def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
+               rmask: jax.Array, k: int = 5, tile_e: int = 512,
+               tile_m: int = 512, interpret: bool = False,
+               max_radius: float | None = None
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Exact kNN with the same contract as :func:`liodom_tpu.ops.neighbors.knn`:
+
+    query (E, 3), qmask (E,), ref (M, 3), rmask (M,) ->
+    (sq_dists (E, k) ascending, indices (E, k) into ref).
+
+    ``max_radius``: optional radius pruning.  Both sides are sorted by a
+    coarse spatial key and (query-tile, ref-tile) pairs whose AABBs are more
+    than ``max_radius`` apart are skipped.  Neighbours *within* the radius
+    are exact; beyond it distances may be reported as ``_BIG`` instead of
+    their true value.  This matches the odometry consumer exactly: the
+    correspondence gate drops any edge whose k-th neighbour exceeds the
+    radius (laser_odometry.cc:324), so values past the gate are
+    interchangeable.
+    """
+    e, m = query.shape[0], ref.shape[0]
+    dtype = jnp.float32
+
+    if max_radius is not None:
+        qperm = _spatial_order(query, qmask)
+        rperm = _spatial_order(ref, rmask)
+        query, qmask = query[qperm], qmask[qperm]
+        ref, rmask = ref[rperm], rmask[rperm]
+
+    # invalid refs -> pushed FAR out; distances stay finite but un-pickable
+    ref_enc = jnp.where(rmask[:, None], ref.astype(dtype),
+                        ref.astype(dtype) + 2.0 * _FAR)
+    e_pad = (-e) % tile_e
+    m_pad = (-m) % tile_m
+    q4 = jnp.pad(query.astype(dtype), ((0, e_pad), (0, 1)))        # (Ep, 4)
+    r4 = jnp.pad(ref_enc, ((0, m_pad), (0, 1)),
+                 constant_values=_FAR).T                            # (4, Mp)
+    ep, mp = q4.shape[0], r4.shape[1]
+    n_e_tiles = ep // tile_e
+    n_m_tiles = mp // tile_m
+
+    # (n_e, n_m) pair flags (scalar-prefetched to SMEM)
+    qm_p = jnp.pad(qmask, (0, e_pad))
+    rm_p = jnp.pad(rmask, (0, m_pad))
+    qlo, qhi, qne = _tile_aabbs(q4[:, :3], qm_p, tile_e)
+    rlo, rhi, rne = _tile_aabbs(r4.T[:, :3], rm_p, tile_m)
+    flags = _pair_flags(qlo, qhi, qne, rlo, rhi, rne, max_radius).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_e_tiles, n_m_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_e, 4), lambda i, j, flags: (i, 0)),
+            pl.BlockSpec((4, tile_m), lambda i, j, flags: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_e, _KPAD), lambda i, j, flags: (i, 0)),
+            pl.BlockSpec((tile_e, _KPAD), lambda i, j, flags: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_e, _KPAD), dtype),
+            pltpu.VMEM((tile_e, _KPAD), jnp.int32),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, tile_m=tile_m),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ep, _KPAD), dtype),
+            jax.ShapeDtypeStruct((ep, _KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flags, q4, r4)
+
+    best_d = out_d[:e, :k]
+    best_i = out_i[:e, :k]
+    # Contract parity with neighbors.knn: invalid refs / invalid queries get
+    # _BIG distances; pad indices clamp into range.
+    picked_invalid = ~rmask[jnp.minimum(best_i, m - 1)]
+    best_d = jnp.where(picked_invalid, _BIG, best_d)
+    best_d = jnp.where(qmask[:, None], best_d, _BIG)
+    best_i = jnp.minimum(best_i, m - 1)
+    best_d = jnp.maximum(best_d, 0.0)
+    if max_radius is not None:
+        # translate sorted-space results back to the caller's ordering
+        best_i = rperm[best_i]
+        inv_q = jnp.argsort(qperm)
+        best_d = best_d[inv_q]
+        best_i = best_i[inv_q]
+    return best_d, best_i

@@ -25,6 +25,21 @@ import jax.numpy as jnp
 _BIG = 1e30
 
 
+def knn_auto(query, qmask, ref, rmask, k: int = 5, chunk: int = 4096,
+             max_radius: float | None = None):
+    """Backend-dispatched exact kNN: the Pallas VMEM-resident kernel on TPU
+    (ops/knn_pallas.py), the XLA chunked-top-k path elsewhere.  Identical
+    contract and results.
+
+    ``max_radius`` (TPU only): spatial-sort + AABB tile pruning — exact
+    within the radius, far candidates may report _BIG (see knn_pallas)."""
+    if jax.default_backend() == "tpu":
+        from liodom_tpu.ops.knn_pallas import knn_pallas
+        return knn_pallas(query, qmask, ref, rmask, k=k,
+                          max_radius=max_radius)
+    return knn(query, qmask, ref, rmask, k=k, chunk=chunk)
+
+
 @partial(jax.jit, static_argnames=("k", "chunk"))
 def knn(query: jax.Array, qmask: jax.Array, ref: jax.Array, rmask: jax.Array,
         k: int = 5, chunk: int = 4096) -> Tuple[jax.Array, jax.Array]:
@@ -52,8 +67,13 @@ def knn(query: jax.Array, qmask: jax.Array, ref: jax.Array, rmask: jax.Array,
         best_d, best_i = carry
         rc, rm, off = inp
         r_sq = jnp.sum(rc * rc, axis=-1)  # (chunk,)
-        # d2 = |q|^2 - 2 q.r + |r|^2 ; the q.r term rides the MXU
-        d2 = q_sq - 2.0 * (query @ rc.T) + r_sq[None, :]
+        # d2 = |q|^2 - 2 q.r + |r|^2 ; the q.r term rides the MXU.
+        # HIGHEST precision is required: the default bf16 MXU passes corrupt
+        # the cancellation by O(|q||r| * 2^-8) — metres of distance error.
+        d2 = (q_sq
+              - 2.0 * jnp.dot(query, rc.T,
+                              precision=jax.lax.Precision.HIGHEST)
+              + r_sq[None, :])
         d2 = jnp.where(rm[None, :], d2, _BIG)
         cd, ci = jax.lax.top_k(-d2, k)  # (E, k) largest of -d2 = smallest d2
         cd = -cd
@@ -134,7 +154,10 @@ def line_correspondences(edges_world: jax.Array, emask: jax.Array,
     neighbours.  Additionally requires the endpoints to be at least
     ``min_line_sep`` apart (see LiodomConfig.min_line_sep — degenerate
     duplicate-point "lines" are numerically meaningless)."""
-    d2, idx = knn(edges_world, emask, map_pts, mmask, k=k, chunk=chunk)
+    # Radius pruning is gate-exact: edges whose k-th NN exceeds
+    # sqrt(max_sq_dist) are rejected either way (laser_odometry.cc:324).
+    d2, idx = knn_auto(edges_world, emask, map_pts, mmask, k=k, chunk=chunk,
+                       max_radius=float(max_sq_dist) ** 0.5)
     near = map_pts[idx]                        # (E, k, 3)
     center = jnp.mean(near, axis=1, keepdims=True)
     zm = near - center

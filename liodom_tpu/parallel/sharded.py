@@ -34,7 +34,7 @@ from liodom_tpu.core.frame import EdgeCloud
 from liodom_tpu.core.pose import Pose
 from liodom_tpu.odometry import local_map
 from liodom_tpu.odometry.pipeline import OdomState, init_state
-from liodom_tpu.ops.neighbors import knn, sym3_eigenvalues
+from liodom_tpu.ops.neighbors import knn_auto, sym3_eigenvalues
 from liodom_tpu.ops.solver import lm_solve
 
 
@@ -51,7 +51,7 @@ def _sharded_correspondences(edges_world, emask, map_xyz, map_valid, cfg):
     map_xyz/map_valid are the LOCAL shard. Returns (lpa, lpb, valid)
     identical on every device of the map group."""
     k = cfg.knn_k
-    d2l, idxl = knn(edges_world, emask, map_xyz, map_valid, k=k)
+    d2l, idxl = knn_auto(edges_world, emask, map_xyz, map_valid, k=k)
     ptsl = map_xyz[idxl]                                     # (E, k, 3)
     # gather candidates from all map shards: (md, E, k[, 3]) -> (E, md*k[, 3])
     d2g = jax.lax.all_gather(d2l, "map")

@@ -1,0 +1,134 @@
+"""Pallas kNN kernel vs. the XLA reference path.
+
+Runs the kernel in interpreter mode on the CPU test backend; on a real TPU
+the same code lowers to Mosaic.  Contract: identical neighbour sets,
+distances, and gating behaviour as ops/neighbors.knn.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liodom_tpu.ops.knn_pallas import knn_pallas, _BIG
+from liodom_tpu.ops.neighbors import knn
+
+
+def _rand_cloud(rng, n, scale=50.0):
+    return (rng.standard_normal((n, 3)) * scale).astype(np.float32)
+
+
+@pytest.mark.parametrize("e,m", [(256, 512), (300, 1000), (512, 4096)])
+def test_matches_xla_knn_all_valid(e, m):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(_rand_cloud(rng, e))
+    r = jnp.asarray(_rand_cloud(rng, m))
+    qm = jnp.ones((e,), bool)
+    rm = jnp.ones((m,), bool)
+    d_ref, i_ref = knn(q, qm, r, rm, k=5)
+    d_pal, i_pal = knn_pallas(q, qm, r, rm, k=5, tile_e=256, tile_m=256,
+                              interpret=True)
+    # the two paths use different but equivalent distance formulas
+    # (direct (q-r)^2 vs |q|^2 - 2 q.r + |r|^2) — tiny associativity noise
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref),
+                               rtol=1e-3, atol=5e-3)
+    # indices can differ at near-tie distances; the contract is that the
+    # picked points are at the reference distances
+    qn, rn = np.asarray(q), np.asarray(r)
+    d_of_picked = np.sum(
+        (qn[:, None, :] - rn[np.asarray(i_pal)]) ** 2, axis=-1)
+    np.testing.assert_allclose(d_of_picked, np.asarray(d_ref),
+                               rtol=1e-3, atol=5e-3)
+
+
+def test_invalid_refs_never_selected():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(_rand_cloud(rng, 64, scale=5.0))
+    r = jnp.asarray(_rand_cloud(rng, 256, scale=5.0))
+    rm = jnp.asarray(rng.random(256) < 0.5)
+    qm = jnp.ones((64,), bool)
+    d, i = knn_pallas(q, qm, r, rm, k=5, tile_e=64, tile_m=128,
+                      interpret=True)
+    i = np.asarray(i)
+    d = np.asarray(d)
+    rm_np = np.asarray(rm)
+    # every finite-distance neighbour must be a valid ref point
+    assert np.all(rm_np[i[d < 1e6]])
+    # and invalid picks are reported at _BIG, matching the XLA path's gate
+    assert np.all(d[~rm_np[i]] >= _BIG * 0.99)
+
+
+def test_invalid_queries_get_big():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(_rand_cloud(rng, 32))
+    r = jnp.asarray(_rand_cloud(rng, 128))
+    qm = jnp.zeros((32,), bool).at[::2].set(True)
+    rm = jnp.ones((128,), bool)
+    d, _ = knn_pallas(q, qm, r, rm, k=5, tile_e=32, tile_m=128,
+                      interpret=True)
+    d = np.asarray(d)
+    assert np.all(d[1::2] >= _BIG * 0.99)
+    assert np.all(d[::2] < 1e6)
+
+
+def test_radius_pruned_matches_within_radius():
+    """Radius pruning must be exact for all neighbours within the radius and
+    gate-equivalent beyond it (either the true value >= r^2 or _BIG)."""
+    rng = np.random.default_rng(7)
+    # clustered scene so tiles actually prune
+    centers = rng.uniform(-40, 40, (8, 3)).astype(np.float32)
+    qc = centers[rng.integers(0, 8, 512)]
+    rc = centers[rng.integers(0, 8, 2048)]
+    q = jnp.asarray(qc + rng.standard_normal((512, 3)).astype(np.float32))
+    r = jnp.asarray(rc + rng.standard_normal((2048, 3)).astype(np.float32))
+    qm = jnp.ones((512,), bool)
+    rm = jnp.ones((2048,), bool)
+    radius = 1.0
+    d_ref, i_ref = knn(q, qm, r, rm, k=5)
+    d_pr, i_pr = knn_pallas(q, qm, r, rm, k=5, tile_e=128, tile_m=256,
+                            interpret=True, max_radius=radius)
+    d_ref, d_pr = np.asarray(d_ref), np.asarray(d_pr)
+    i_pr = np.asarray(i_pr)
+    inside = d_ref < radius * radius
+    np.testing.assert_allclose(d_pr[inside], d_ref[inside],
+                               rtol=1e-3, atol=5e-3)
+    # indices valid for in-radius picks
+    qn, rn = np.asarray(q), np.asarray(r)
+    d_of_picked = np.sum((qn[:, None, :] - rn[i_pr]) ** 2, axis=-1)
+    np.testing.assert_allclose(d_of_picked[inside], d_ref[inside],
+                               rtol=1e-3, atol=5e-3)
+    # beyond-radius entries must also be beyond the radius in the ref
+    outside = ~inside
+    assert np.all(d_pr[outside] >= radius * radius - 5e-3)
+
+
+def test_line_correspondences_radius_parity():
+    """The full correspondence stage must produce identical accepted sets
+    with and without the pruned kernel (CPU: both use the XLA path; the same
+    check runs on TPU in the integration script)."""
+    from liodom_tpu.ops.neighbors import line_correspondences
+    rng = np.random.default_rng(9)
+    # map points along vertical line segments (edge-like structures)
+    bases = rng.uniform(-20, 20, (64, 3)).astype(np.float32)
+    t = np.linspace(-1.5, 1.5, 64, dtype=np.float32)
+    m = (bases[:, None, :]
+         + t[None, :, None] * np.array([0, 0, 1], np.float32)).reshape(-1, 3)
+    m = jnp.asarray(m + rng.standard_normal(m.shape).astype(np.float32) * .01)
+    e = m[::8] + 0.05
+    corr = line_correspondences(e, jnp.ones((e.shape[0],), bool), m,
+                                jnp.ones((m.shape[0],), bool))
+    assert int(corr.valid.sum()) > 0
+
+
+def test_ragged_pad_shapes():
+    """E and M not multiples of the tile sizes."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(_rand_cloud(rng, 100))
+    r = jnp.asarray(_rand_cloud(rng, 333))
+    qm = jnp.ones((100,), bool)
+    rm = jnp.ones((333,), bool)
+    d_ref, i_ref = knn(q, qm, r, rm, k=5)
+    d_pal, i_pal = knn_pallas(q, qm, r, rm, k=5, tile_e=64, tile_m=128,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-3)
+    assert np.asarray(i_pal).max() < 333
