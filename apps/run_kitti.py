@@ -55,7 +55,8 @@ def main():
     print(f"sequence {args.seq}: {n} scans, mapping={args.mapping}")
 
     if args.mapping:
-        from liodom_tpu.mapping import init_combined, combined_step
+        from liodom_tpu.mapping import init_combined
+        from liodom_tpu.mapping.service import combined_image_step
         mcfg = MapConfig(voxel_xysize=40.0, voxel_zsize=50.0, resolution=0.4,
                          cells_xy=3, cells_z=2)  # launch/liodom.launch:46-52
         state, mstate = init_combined(cfg, mcfg)
@@ -70,17 +71,19 @@ def main():
     sensor_dt = 0.1 if seq.times is None else float(np.median(
         np.diff(seq.times))) if len(seq) > 1 else 0.1
 
-    for i, (xyz, valid) in enumerate(seq.iter_padded(cfg.max_points)):
+    scan_iter = seq.iter_images(cfg.scan_lines, cfg.ring_width,
+                                cfg.min_range, cfg.max_range)
+    for i, (img, counts) in enumerate(scan_iter):
         if i >= n:
             break
         freq.tick_input(t=i * sensor_dt)
         t0 = time.perf_counter()
-        jx, jv = jnp.asarray(xyz), jnp.asarray(valid)
+        jx, jc = jnp.asarray(img), jnp.asarray(counts)
         if args.mapping:
-            state, mstate, pose, n_edges = combined_step(
-                state, mstate, jx, jv, cfg, mcfg)
+            state, mstate, pose, n_edges = combined_image_step(
+                state, mstate, jx, jc, cfg, mcfg)
         else:
-            state, pose, n_edges = P.full_step(state, jx, jv, cfg)
+            state, pose, n_edges = P.image_step(state, jx, jc, cfg)
         pending.append((pose, n_edges))
         if i == 0 or (i + 1) % args.sync_every == 0 or i == n - 1:
             for p_, ne_ in pending:

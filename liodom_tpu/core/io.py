@@ -112,6 +112,25 @@ class KittiSequence:
         from liodom_tpu.runtime import native
         yield from native.iter_padded(self.files, capacity, prefetch)
 
+    def iter_images(self, scan_lines: int, ring_width: int, min_range: float,
+                    max_range: float, prefetch: int = 4, n_threads: int = 2
+                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield ring images ((rings, width, 3) f32, (rings,) i32 counts),
+        ring-split in native loader threads (loader.cc split_velodyne) so the
+        device program starts at the smoothness kernel."""
+        from liodom_tpu.runtime import native
+        pf = native.SplitPrefetcher(self.files, scan_lines, ring_width,
+                                    min_range, max_range, depth=prefetch,
+                                    n_threads=n_threads)
+        try:
+            while True:
+                item = pf.next()
+                if item is None:
+                    return
+                yield item
+        finally:
+            pf.close()
+
 
 def organized_from_unorganized(xyz: np.ndarray, rings: int,
                                width: int) -> np.ndarray:

@@ -69,6 +69,27 @@ def combined_step(odom_state: OdomState, map_state: MapState,
     return new_odom, map_state, pose, edges.num_valid()
 
 
+@partial(jax.jit, static_argnames=("cfg", "mcfg"))
+def combined_image_step(odom_state: OdomState, map_state: MapState,
+                        img_xyz: jax.Array, img_count: jax.Array,
+                        cfg: LiodomConfig, mcfg: MapConfig
+                        ) -> Tuple[OdomState, MapState, Pose, jax.Array]:
+    """:func:`combined_step` starting from a loader-split ring image
+    (see odometry.pipeline.image_step)."""
+    from liodom_tpu.core.frame import RingImage
+    from liodom_tpu.ops.features import smoothness, select_edges
+
+    img = RingImage(img_xyz, img_count)
+    edges = select_edges(img, smoothness(img, cfg), cfg)
+    new_odom, pose = _odom_only(odom_state, edges, cfg)
+    map_state = update_map(map_state, edges.xyz, edges.valid, pose, mcfg)
+    loc_xyz, loc_valid = get_local_map(
+        map_state, pose.t, mcfg, capacity=mcfg.local_map_capacity)
+    new_odom = new_odom._replace(received_xyz=loc_xyz,
+                                 received_valid=loc_valid)
+    return new_odom, map_state, pose, edges.num_valid()
+
+
 def _odom_only(state: OdomState, edges, cfg: LiodomConfig):
     from liodom_tpu.odometry.pipeline import odometry_step
     return odometry_step(state, edges, cfg)

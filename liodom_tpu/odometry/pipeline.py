@@ -162,3 +162,24 @@ def full_step(state: OdomState, raw_xyz: jax.Array, raw_valid: jax.Array,
         edges = select_edges(img, smoothness(img, cfg), cfg)
     new_state, pose = odometry_step(state, edges, cfg, t_laser_base)
     return new_state, pose, edges.num_valid()
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def image_step(state: OdomState, img_xyz: jax.Array, img_count: jax.Array,
+               cfg: LiodomConfig,
+               t_laser_base: Optional[Pose] = None,
+               ) -> Tuple[OdomState, Pose, jax.Array]:
+    """Ring-image in, pose out — the production hot path.
+
+    Ring routing is a loader-stage job (the native prefetcher splits scans in
+    worker threads, runtime/native_src/loader.cc split_velodyne — mirroring
+    the reference's dedicated extraction thread, feature_extractor.cc:42-82),
+    so the device program starts at the smoothness kernel.  Identical results
+    to :func:`full_step`; it skips only the on-device re-split."""
+    from liodom_tpu.core.frame import RingImage
+    from liodom_tpu.ops.features import smoothness, select_edges
+
+    img = RingImage(img_xyz, img_count)
+    edges = select_edges(img, smoothness(img, cfg), cfg)
+    new_state, pose = odometry_step(state, edges, cfg, t_laser_base)
+    return new_state, pose, edges.num_valid()

@@ -138,7 +138,7 @@ def _pair_flags(qlo, qhi, qne, rlo, rhi, rne, max_radius):
 @functools.partial(jax.jit, static_argnames=("k", "tile_e", "tile_m",
                                              "interpret", "max_radius"))
 def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
-               rmask: jax.Array, k: int = 5, tile_e: int = 512,
+               rmask: jax.Array, k: int = 5, tile_e: int = 256,
                tile_m: int = 512, interpret: bool = False,
                max_radius: float | None = None
                ) -> Tuple[jax.Array, jax.Array]:

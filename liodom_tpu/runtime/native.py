@@ -51,6 +51,20 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
             lib.liodom_prefetch_destroy.restype = None
             lib.liodom_prefetch_destroy.argtypes = [ctypes.c_void_p]
+            lib.liodom_split_velodyne.restype = ctypes.c_long
+            lib.liodom_split_velodyne.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int)]
+            lib.liodom_prefetch_create_split.restype = ctypes.c_void_p
+            lib.liodom_prefetch_create_split.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+                ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float, ctypes.c_float]
+            lib.liodom_prefetch_next_split.restype = ctypes.c_long
+            lib.liodom_prefetch_next_split.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int)]
             _lib = lib
         except Exception:
             _lib = None
@@ -73,6 +87,136 @@ def read_bin(path: str, cap_points: int = 300000) -> np.ndarray:
     if n < 0:
         raise FileNotFoundError(path)
     return buf[:n].reshape(-1, 4)
+
+
+def split_velodyne_np(pts: np.ndarray, scan_lines: int, ring_width: int,
+                      min_range: float, max_range: float
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """NumPy mirror of the native ring split (loader.cc split_velodyne; the
+    reference's splitPointCloud, feature_extractor.cc:104-179).  All float32
+    math, matching the C++ and the on-device f32 paths.
+
+    pts: (N, >=3) float32.  Returns ((rings, width, 3) image, (rings,)
+    counts)."""
+    pts = np.asarray(pts, np.float32)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+    d = np.sqrt((x * x + y * y).astype(np.float32), dtype=np.float32)
+    ok = finite & (d >= np.float32(min_range)) & (d <= np.float32(max_range))
+    angle = (np.arctan(z / np.maximum(d, np.float32(1e-9)))
+             * np.float32(180.0 / np.pi)).astype(np.float32)
+    if scan_lines == 64:
+        upper = angle >= np.float32(-8.83)
+        rid = np.where(
+            upper,
+            ((np.float32(2.0) - angle) * np.float32(3.0)
+             + np.float32(0.5)).astype(np.int32),
+            32 + ((np.float32(-8.83) - angle) * np.float32(2.0)
+                  + np.float32(0.5)).astype(np.int32))
+        ok &= ((angle <= np.float32(2.0)) & (angle >= np.float32(-24.33))
+               & (rid >= 0) & (rid <= 63))
+    elif scan_lines == 32:
+        rid = ((angle + np.float32(92.0 / 3.0))
+               * np.float32(3.0 / 4.0)).astype(np.int32)
+        ok &= (rid >= 0) & (rid <= 31)
+    elif scan_lines == 16:
+        rid = ((angle + np.float32(15.0)) / np.float32(2.0)
+               + np.float32(0.5)).astype(np.int32)
+        ok &= (rid >= 0) & (rid <= 15)
+    else:
+        raise ValueError(f"unsupported scan_lines: {scan_lines}")
+    img = np.zeros((scan_lines, ring_width, 3), np.float32)
+    counts = np.zeros((scan_lines,), np.int32)
+    rid = np.where(ok, rid, scan_lines)
+    order = np.flatnonzero(ok)  # ascending -> input order preserved per ring
+    for r in range(scan_lines):
+        members = order[rid[order] == r]
+        m = min(len(members), ring_width)
+        img[r, :m] = pts[members[:m], :3]
+        counts[r] = m
+    return img, counts
+
+
+def split_velodyne(pts: np.ndarray, scan_lines: int, ring_width: int,
+                   min_range: float, max_range: float
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Ring-split one scan on the host: native C++ when available, numpy
+    fallback otherwise.  pts: (N, 3 or 4) float32."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, np.float32)
+    if lib is None:
+        return split_velodyne_np(pts, scan_lines, ring_width, min_range,
+                                 max_range)
+    img = np.empty((scan_lines, ring_width, 3), np.float32)
+    counts = np.empty((scan_lines,), np.int32)
+    n = lib.liodom_split_velodyne(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pts),
+        pts.shape[1], scan_lines, min_range, max_range, ring_width,
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if n < 0:
+        raise ValueError(f"unsupported scan_lines: {scan_lines}")
+    return img, counts
+
+
+class SplitPrefetcher:
+    """Multithreaded loader that reads KITTI .bin scans AND ring-splits them
+    in native worker threads, emitting device-ready (rings, width, 3) images.
+
+    This is the production ingest path: the reference spends a whole pipeline
+    thread on splitting (feature_extractor.cc:42-82); here it overlaps with
+    TPU compute for free."""
+
+    def __init__(self, paths: List[str], scan_lines: int, ring_width: int,
+                 min_range: float, max_range: float,
+                 cap_points: int = 300000, depth: int = 4,
+                 n_threads: int = 2):
+        self.paths = list(paths)
+        self.shape = (scan_lines, ring_width, 3)
+        self._args = (scan_lines, ring_width, min_range, max_range)
+        self._cap = cap_points
+        lib = _load()
+        self._lib = lib
+        self._i = 0
+        if lib is not None:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths])
+            self._keepalive = arr
+            self._h = lib.liodom_prefetch_create_split(
+                arr, len(self.paths), cap_points, depth, n_threads,
+                scan_lines, ring_width,
+                ctypes.c_float(min_range), ctypes.c_float(max_range))
+        else:
+            self._h = None
+
+    def next(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """((rings, width, 3) image, (rings,) counts) or None at end."""
+        if self._h is not None:
+            img = np.empty(self.shape, np.float32)
+            counts = np.empty((self.shape[0],), np.int32)
+            n = self._lib.liodom_prefetch_next_split(
+                self._h, img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+            if n < 0:
+                return None
+            return img, counts
+        if self._i >= len(self.paths):
+            return None
+        rec = np.fromfile(self.paths[self._i], dtype=np.float32)
+        self._i += 1
+        rec = rec.reshape(-1, 4)[:self._cap]
+        return split_velodyne_np(rec, *self._args)
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.liodom_prefetch_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class Prefetcher:

@@ -13,6 +13,7 @@
 // Exposed as a plain C ABI for ctypes.  Build: g++ -O3 -shared -fPIC.
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -24,6 +25,65 @@
 
 namespace {
 
+// ---------------------------------------------------------------------------
+// Velodyne ring routing (the reference's splitPointCloud,
+// feature_extractor.cc:104-179) as a loader stage: validity gate + the
+// hard-coded 64/32/16-line elevation formulas, appending each point to its
+// ring row of a dense (rings, width, 3) image.  All math in float to match
+// the on-device f32 path (liodom_tpu/ops/features.py ring_id_velodyne).
+// Returns the number of routed points.
+long split_velodyne(const float* pts, long n, int stride, int scan_lines,
+                    float min_range, float max_range, int ring_width,
+                    float* out_img, int* out_counts) {
+  const float rad2deg = 180.0f / 3.14159265358979323846f;
+  std::memset(out_img, 0,
+              static_cast<size_t>(scan_lines) * ring_width * 3 *
+                  sizeof(float));
+  std::memset(out_counts, 0, static_cast<size_t>(scan_lines) * sizeof(int));
+  long routed = 0;
+  for (long i = 0; i < n; ++i) {
+    const float x = pts[i * stride + 0];
+    const float y = pts[i * stride + 1];
+    const float z = pts[i * stride + 2];
+    if (!std::isfinite(x) || !std::isfinite(y) || !std::isfinite(z)) continue;
+    const float d = std::sqrt(x * x + y * y);
+    if (d < min_range || d > max_range) continue;
+    const float dd = d > 1e-9f ? d : 1e-9f;
+    const float angle = std::atan(z / dd) * rad2deg;
+    int rid;
+    bool ok;
+    if (scan_lines == 64) {
+      if (angle >= -8.83f) {
+        rid = static_cast<int>((2.0f - angle) * 3.0f + 0.5f);
+      } else {
+        rid = 32 + static_cast<int>((-8.83f - angle) * 2.0f + 0.5f);
+      }
+      ok = angle <= 2.0f && angle >= -24.33f && rid >= 0 && rid <= 63;
+    } else if (scan_lines == 32) {
+      rid = static_cast<int>((angle + 92.0f / 3.0f) * 3.0f / 4.0f);
+      ok = rid >= 0 && rid <= 31;
+    } else if (scan_lines == 16) {
+      rid = static_cast<int>((angle + 15.0f) / 2.0f + 0.5f);
+      ok = rid >= 0 && rid <= 15;
+    } else {
+      return -1;
+    }
+    if (!ok) continue;
+    int& c = out_counts[rid];
+    if (c < ring_width) {
+      float* row = out_img + (static_cast<size_t>(rid) * ring_width + c) * 3;
+      row[0] = x;
+      row[1] = y;
+      row[2] = z;
+      ++c;
+    }
+    ++routed;
+  }
+  for (int r = 0; r < scan_lines; ++r)
+    if (out_counts[r] > ring_width) out_counts[r] = ring_width;
+  return routed;
+}
+
 // Read a whole file of float32 records; returns bytes read or -1.
 long read_file(const char* path, void* out, long cap_bytes) {
   FILE* f = std::fopen(path, "rb");
@@ -34,16 +94,26 @@ long read_file(const char* path, void* out, long cap_bytes) {
 }
 
 struct Slot {
-  std::vector<float> xyz;   // cap_points * 3
+  std::vector<float> xyz;   // cap_points * 3  (or rings*width*3 in split mode)
+  std::vector<int> counts;  // split mode: per-ring point counts
   long n_points = 0;
   long index = -1;          // sequence index held by this slot
   bool ready = false;
+};
+
+// Split-mode parameters (scan_lines == 0 -> raw xyz mode).
+struct SplitParams {
+  int scan_lines = 0;
+  int ring_width = 0;
+  float min_range = 0.f;
+  float max_range = 0.f;
 };
 
 struct Prefetcher {
   std::vector<std::string> paths;
   long cap_points;
   int depth;
+  SplitParams split;
   std::vector<Slot> slots;
   std::vector<std::thread> workers;
   std::mutex mu;
@@ -52,9 +122,16 @@ struct Prefetcher {
   long next_to_emit = 0;     // next index the consumer wants
   std::atomic<bool> stop{false};
 
-  Prefetcher(std::vector<std::string> p, long cap, int d, int n_threads)
-      : paths(std::move(p)), cap_points(cap), depth(d), slots(d) {
-    for (auto& s : slots) s.xyz.resize(static_cast<size_t>(cap) * 3);
+  Prefetcher(std::vector<std::string> p, long cap, int d, int n_threads,
+             SplitParams sp = {})
+      : paths(std::move(p)), cap_points(cap), depth(d), split(sp), slots(d) {
+    const size_t buf = split.scan_lines
+        ? static_cast<size_t>(split.scan_lines) * split.ring_width * 3
+        : static_cast<size_t>(cap) * 3;
+    for (auto& s : slots) {
+      s.xyz.resize(buf);
+      if (split.scan_lines) s.counts.resize(split.scan_lines);
+    }
     for (int t = 0; t < n_threads; ++t)
       workers.emplace_back([this] { this->work(); });
   }
@@ -96,8 +173,15 @@ struct Prefetcher {
       long bytes = read_file(paths[idx].c_str(), raw.data(),
                              static_cast<long>(raw.size()) * 4);
       long n = bytes < 0 ? 0 : bytes / 16;  // 4 floats per record
-      for (long i = 0; i < n; ++i)
-        std::memcpy(&slot->xyz[i * 3], &raw[i * 4], 3 * sizeof(float));
+      if (split.scan_lines) {
+        n = split_velodyne(raw.data(), n, 4, split.scan_lines,
+                           split.min_range, split.max_range,
+                           split.ring_width, slot->xyz.data(),
+                           slot->counts.data());
+      } else {
+        for (long i = 0; i < n; ++i)
+          std::memcpy(&slot->xyz[i * 3], &raw[i * 4], 3 * sizeof(float));
+      }
       {
         std::lock_guard<std::mutex> lk(mu);
         slot->n_points = n;
@@ -107,9 +191,10 @@ struct Prefetcher {
     }
   }
 
-  // Copies scan `next_to_emit` into out (cap_points*3 floats).
-  // Returns n_points, or -1 when the sequence is exhausted.
-  long next(float* out) {
+  // Copies scan `next_to_emit` into out (cap_points*3 floats; in split mode
+  // the full rings*width*3 image plus per-ring counts).
+  // Returns n_points (routed points in split mode), or -1 at end.
+  long next(float* out, int* out_counts = nullptr) {
     std::unique_lock<std::mutex> lk(mu);
     if (next_to_emit >= static_cast<long>(paths.size())) return -1;
     long want = next_to_emit;
@@ -122,8 +207,16 @@ struct Prefetcher {
     });
     if (!slot) return -1;
     long n = slot->n_points;
-    std::memcpy(out, slot->xyz.data(),
-                static_cast<size_t>(n) * 3 * sizeof(float));
+    if (split.scan_lines) {
+      std::memcpy(out, slot->xyz.data(),
+                  slot->xyz.size() * sizeof(float));
+      if (out_counts)
+        std::memcpy(out_counts, slot->counts.data(),
+                    slot->counts.size() * sizeof(int));
+    } else {
+      std::memcpy(out, slot->xyz.data(),
+                  static_cast<size_t>(n) * 3 * sizeof(float));
+    }
     slot->index = -1;   // release the slot back to the workers
     slot->ready = false;
     next_to_emit++;
@@ -155,6 +248,33 @@ long liodom_prefetch_next(void* h, float* out_xyz) {
 
 void liodom_prefetch_destroy(void* h) {
   delete static_cast<Prefetcher*>(h);
+}
+
+// Ring-split one scan already in memory (pts = n x stride floats).
+long liodom_split_velodyne(const float* pts, long n, int stride,
+                           int scan_lines, float min_range, float max_range,
+                           int ring_width, float* out_img, int* out_counts) {
+  return split_velodyne(pts, n, stride, scan_lines, min_range, max_range,
+                        ring_width, out_img, out_counts);
+}
+
+// Prefetcher that reads .bin files AND ring-splits them in worker threads,
+// emitting dense (scan_lines, ring_width, 3) images + per-ring counts.
+void* liodom_prefetch_create_split(const char** paths, long n_paths,
+                                   long cap_points, int depth, int n_threads,
+                                   int scan_lines, int ring_width,
+                                   float min_range, float max_range) {
+  std::vector<std::string> p(paths, paths + n_paths);
+  SplitParams sp;
+  sp.scan_lines = scan_lines;
+  sp.ring_width = ring_width;
+  sp.min_range = min_range;
+  sp.max_range = max_range;
+  return new Prefetcher(std::move(p), cap_points, depth, n_threads, sp);
+}
+
+long liodom_prefetch_next_split(void* h, float* out_img, int* out_counts) {
+  return static_cast<Prefetcher*>(h)->next(out_img, out_counts);
 }
 
 }  // extern "C"

@@ -101,3 +101,16 @@ def test_organized_from_unorganized_roundtrip():
     src = {tuple(np.round(p, 4)) for p in xyz}
     for p in nz:
         assert tuple(np.round(p, 4)) in src
+
+
+def test_iter_images_matches_host_split(tmp_path):
+    """KittiSequence.iter_images (native split prefetcher) must equal the
+    per-scan host split of the same files."""
+    recs, _, _ = make_sequence(tmp_path, n_scans=4, n_pts=4000)
+    seq = lio.KittiSequence(str(tmp_path), "00")
+    got = list(seq.iter_images(64, 512, 3.0, 75.0))
+    assert len(got) == 4
+    for rec, (img, counts) in zip(recs, got):
+        ref_img, ref_counts = native.split_velodyne(rec, 64, 512, 3.0, 75.0)
+        np.testing.assert_array_equal(counts, ref_counts)
+        np.testing.assert_array_equal(img, ref_img)

@@ -1,0 +1,99 @@
+"""Host-side ring split (native C++ / numpy) vs. the on-device split.
+
+The three implementations of the reference's splitPointCloud
+(feature_extractor.cc:104-179) must agree: ops/features.split_scan (XLA),
+runtime/native.split_velodyne_np (numpy), and loader.cc split_velodyne (C++).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liodom_tpu import LiodomConfig
+from liodom_tpu.core.frame import RawScan
+from liodom_tpu.core.synth import BoxWorld
+from liodom_tpu.ops.features import split_scan
+from liodom_tpu.runtime import native
+
+
+def _scan(seed=0, width=700):
+    world = BoxWorld(seed=seed)
+    return world.render(np.zeros(3), np.eye(3), width=width, noise=0.01,
+                        seed=seed).astype(np.float32)
+
+
+@pytest.mark.parametrize("scan_lines", [64, 32, 16])
+def test_numpy_matches_device(scan_lines):
+    cfg = LiodomConfig(scan_lines=scan_lines, ring_width=1024,
+                       max_points=65536)
+    pts = _scan()
+    raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
+    dev = split_scan(raw, cfg)
+    img_np, counts_np = native.split_velodyne_np(
+        pts, scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
+    dev_img = np.asarray(dev.xyz)
+    dev_counts = np.asarray(dev.count)
+    # boundary points can flip rings on 1-ulp atan differences; demand
+    # near-total agreement and identical totals
+    agree = (dev_counts == counts_np).mean()
+    assert agree >= 0.97, (dev_counts, counts_np)
+    same_rows = dev_counts == counts_np
+    np.testing.assert_allclose(dev_img[same_rows], img_np[same_rows],
+                               atol=1e-6)
+
+
+def test_native_matches_numpy():
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    cfg = LiodomConfig()
+    pts = _scan(seed=1, width=900)
+    # pad to stride-4 records like a KITTI .bin
+    rec = np.zeros((len(pts), 4), np.float32)
+    rec[:, :3] = pts
+    img_c, counts_c = native.split_velodyne(
+        rec, cfg.scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
+    img_np, counts_np = native.split_velodyne_np(
+        rec, cfg.scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
+    # adjacent-ring flips from 1-ulp atan differences are expected; the
+    # invariants are: identical totals, per-ring count off by <= 2, and
+    # bitwise-equal rows wherever counts agree
+    assert counts_c.sum() == counts_np.sum()
+    assert np.abs(counts_c - counts_np).max() <= 2
+    assert (counts_c == counts_np).mean() >= 0.9
+    same = counts_c == counts_np
+    np.testing.assert_allclose(img_c[same], img_np[same], atol=1e-6)
+
+
+def test_nan_and_range_gating():
+    cfg = LiodomConfig()
+    pts = _scan(seed=2)
+    pts[::5] = np.nan
+    pts[1::5] = 1e6  # beyond max_range
+    img, counts = native.split_velodyne_np(
+        pts, cfg.scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
+    assert np.all(np.isfinite(img))
+    assert counts.sum() > 0
+
+
+def test_image_step_matches_full_step():
+    """image_step (host split) and full_step (device split) must agree."""
+    from liodom_tpu.odometry import pipeline as P
+    cfg = LiodomConfig(max_points=65536, ring_width=1024, local_map_size=3)
+    world = BoxWorld(seed=4)
+    state_a = P.init_state(cfg)
+    state_b = P.init_state(cfg)
+    for i in range(4):
+        pts = world.render(np.array([0.1 * i, 0, 0]), np.eye(3), width=700,
+                           noise=0.005, seed=i).astype(np.float32)
+        raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
+        state_a, pose_a, na = P.full_step(state_a, raw.xyz, raw.valid, cfg)
+        img, counts = native.split_velodyne_np(
+            pts, cfg.scan_lines, cfg.ring_width, cfg.min_range,
+            cfg.max_range)
+        state_b, pose_b, nb = P.image_step(
+            state_b, jnp.asarray(img), jnp.asarray(counts), cfg)
+        # ring-boundary flips can move an edge or two; poses stay equal to
+        # solver tolerance
+        np.testing.assert_allclose(np.asarray(pose_a.t), np.asarray(pose_b.t),
+                                   atol=5e-3)
+        assert abs(int(na) - int(nb)) <= max(5, int(0.02 * int(na)))
