@@ -56,6 +56,22 @@ def init_state(cfg: LiodomConfig, received_capacity: int = 0) -> OdomState:
     )
 
 
+def set_imu(state: OdomState, quat_wxyz: jax.Array) -> OdomState:
+    """Record the latest IMU orientation (SharedData::setLastIMUOri,
+    shared_data.cc:107-112; consumed when cfg.use_imu)."""
+    return state._replace(imu_ori=jnp.asarray(quat_wxyz,
+                                              state.imu_ori.dtype))
+
+
+def set_received_map(state: OdomState, xyz: jax.Array,
+                     valid: jax.Array) -> OdomState:
+    """Record the latest local map received from the mapping service
+    (SharedData::setLocalMap, shared_data.cc:91-105; merged into the
+    matching map when cfg.mapping)."""
+    return state._replace(received_xyz=jnp.asarray(xyz, state.odom.t.dtype),
+                          received_valid=jnp.asarray(valid, bool))
+
+
 def _matching_map(state: OdomState, cfg: LiodomConfig) -> Tuple[jax.Array, jax.Array]:
     """computeLocalMap + map merge (laser_odometry.cc:274-298, 310-314):
     the generated window cloud (optionally 0.4 m voxel-filtered once the
