@@ -132,6 +132,12 @@ class MappingService:
         return get_local_map(self.state, jnp.asarray(position), self.mcfg,
                              capacity=self.mcfg.local_map_capacity)
 
+    def entropy(self) -> float:
+        """Shannon entropy of hash-bucket occupancy (``Map::getMapEntropy``,
+        map.cc:191-211) — the reference's map-health diagnostic."""
+        from liodom_tpu.mapping.grid import map_entropy
+        return map_entropy(self.state)
+
     def maybe_republish(self, now: Optional[float] = None):
         """timerClb (liodom_mapping_node.cc:92-106): return the latched map
         if it has gone stale, else None."""

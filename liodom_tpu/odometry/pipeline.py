@@ -181,6 +181,23 @@ def full_step(state: OdomState, raw_xyz: jax.Array, raw_valid: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def batch_image_step(states: OdomState, imgs_xyz: jax.Array,
+                     imgs_count: jax.Array, cfg: LiodomConfig
+                     ) -> Tuple[OdomState, Pose, jax.Array]:
+    """vmap of :func:`image_step` over a leading batch of independent
+    sequences — single-chip multi-sequence throughput (dataset processing,
+    fleet replay).  A degree of data parallelism the CPU reference has no
+    analogue for (SURVEY.md §2); shard the batch over a mesh 'data' axis for
+    multi-chip (parallel/sharded.py).
+
+    states: OdomState with a leading batch dim (init via
+    ``jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))`` or
+    parallel.sharded.init_batch_state)."""
+    return jax.vmap(lambda s, x, c: image_step(s, x, c, cfg))(
+        states, imgs_xyz, imgs_count)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def image_step(state: OdomState, img_xyz: jax.Array, img_count: jax.Array,
                cfg: LiodomConfig,
                t_laser_base: Optional[Pose] = None,

@@ -194,7 +194,13 @@ def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
         grid=(n_e_tiles, n_m_tiles),
         in_specs=[
             pl.BlockSpec((tile_e, 4), lambda i, j, flags: (i, 0)),
-            pl.BlockSpec((4, tile_m), lambda i, j, flags: (0, j)),
+            # pruned steps alias ref block 0: consecutive equal index-map
+            # results let the pipeline elide the block DMA for skipped tiles
+            pl.BlockSpec(
+                (4, tile_m),
+                lambda i, j, flags, n_m=n_m_tiles: (
+                    0, jnp.where(flags[i * n_m + j] != 0, j, 0)),
+            ),
         ],
         out_specs=[
             pl.BlockSpec((tile_e, _KPAD), lambda i, j, flags: (i, 0)),
