@@ -34,20 +34,33 @@ def main():
                     help="adaptive local mapping feedback loop")
     ap.add_argument("--filter-local-map", action="store_true")
     ap.add_argument("--scan-lines", type=int, default=64)
+    ap.add_argument("--ring-width", type=int, default=2048)
     ap.add_argument("--results-dir", default=None)
     ap.add_argument("--sync-every", type=int, default=50,
                     help="host sync cadence (frames); poses are fetched in "
                     "blocks to amortize device round-trips")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="write a resumable checkpoint every "
+                    "--checkpoint-every frames; resumes automatically when "
+                    "one exists")
+    ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument("--export-viz", default=None,
+                    help="directory for PLY exports (trajectory; per-frame "
+                    "debug dumps every --viz-every frames)")
+    ap.add_argument("--viz-every", type=int, default=0)
     args = ap.parse_args()
 
     from liodom_tpu import LiodomConfig, MapConfig
     from liodom_tpu.core.io import KittiSequence
     from liodom_tpu.odometry import pipeline as P
     from liodom_tpu.runtime.channels import FrequencyMonitor
+    from liodom_tpu.runtime.publisher import OdomPublisher
     from liodom_tpu.runtime.stats import Stats, ate_rmse, rpe
+    from liodom_tpu.runtime import checkpoint as CK
 
     cfg = LiodomConfig(local_map_size=args.local_map_size,
                        scan_lines=args.scan_lines,
+                       ring_width=args.ring_width,
                        filter_local_map=args.filter_local_map,
                        mapping=args.mapping)
     seq = KittiSequence(args.root, args.seq)
@@ -65,15 +78,37 @@ def main():
 
     stats = Stats()
     freq = FrequencyMonitor()
+    pub = OdomPublisher(fixed_frame=cfg.fixed_frame,
+                        base_frame=cfg.base_frame,
+                        publish_tf=cfg.publish_tf)
     poses, pending = [], []
     t_start = time.perf_counter()
     t_compile = None
     sensor_dt = 0.1 if seq.times is None else float(np.median(
         np.diff(seq.times))) if len(seq) > 1 else 0.1
 
+    # resume from the latest checkpoint if one exists
+    start_frame = 0
+    if args.checkpoint_dir and CK.latest_step(args.checkpoint_dir) is not None:
+        tmpl = {"odom_state": state}
+        if args.mapping:
+            tmpl["map_state"] = mstate
+        step, ck = CK.restore(args.checkpoint_dir, template=tmpl)
+        state, start_frame = ck.odom_state, ck.frame_index
+        if args.mapping and ck.map_state is not None:
+            mstate = ck.map_state
+        for m in ck.trajectory:
+            m44 = np.eye(4)
+            m44[:3, :4] = m
+            poses.append(m44)
+            stats.add_pose(m44)
+        print(f"resumed from checkpoint step {step} (frame {start_frame})")
+
     scan_iter = seq.iter_images(cfg.scan_lines, cfg.ring_width,
                                 cfg.min_range, cfg.max_range)
     for i, (img, counts) in enumerate(scan_iter):
+        if i < start_frame:
+            continue
         if i >= n:
             break
         freq.tick_input(t=i * sensor_dt)
@@ -85,15 +120,28 @@ def main():
         else:
             state, pose, n_edges = P.image_step(state, jx, jc, cfg)
         pending.append((pose, n_edges))
-        if i == 0 or (i + 1) % args.sync_every == 0 or i == n - 1:
+        ck_due = (args.checkpoint_dir is not None
+                  and (i + 1) % args.checkpoint_every == 0)
+        if (i == start_frame or (i + 1) % args.sync_every == 0
+                or i == n - 1 or ck_due):
             for p_, ne_ in pending:
-                stats.add_pose(np.asarray(p_.matrix(), np.float64))
+                mat = np.asarray(p_.matrix(), np.float64)
+                stats.add_pose(mat)
                 stats.add_num_feats(int(ne_))
-                poses.append(np.asarray(p_.matrix(), np.float64))
+                poses.append(mat)
+                pub.publish(mat, stamp=len(poses) * sensor_dt)
             pending.clear()
             dt = time.perf_counter() - t0
-            if i == 0:
+            if i == start_frame:
                 t_compile = dt
+            if ck_due:
+                CK.save(args.checkpoint_dir, i + 1, CK.EngineCheckpoint(
+                    state, mstate if args.mapping else None,
+                    np.stack(poses)[:, :3, :4], i + 1))
+            if (args.export_viz and args.viz_every
+                    and (i + 1) % args.viz_every == 0):
+                from liodom_tpu.runtime.viz import export_frame_debug
+                export_frame_debug(args.export_viz, i)
         stats.add_laser_odometry_time((time.perf_counter() - t0) * 1e3)
         freq.tick_output(t=i * sensor_dt + (time.perf_counter() - t_start))
 
@@ -106,6 +154,11 @@ def main():
     if args.results_dir:
         stats.write_results(args.results_dir)
         print(f"results in {args.results_dir}")
+    if args.export_viz:
+        from liodom_tpu.runtime.viz import save_trajectory_ply
+        save_trajectory_ply(
+            os.path.join(args.export_viz, "trajectory.ply"), est)
+        print(f"viz in {args.export_viz}")
 
     gt = seq.gt_velo()
     if gt is not None:

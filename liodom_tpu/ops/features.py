@@ -126,7 +126,13 @@ def smoothness(img: RingImage, cfg: LiodomConfig) -> jax.Array:
 
     smooth[j] = || sum_{l=-5..5} p[j+l] - 11 p[j] ||^2 over the interior
     ``j in [5, count-5)``; non-interior entries are 0 (matching the default-
-    constructed SmoothnessItem the reference leaves at the borders)."""
+    constructed SmoothnessItem the reference leaves at the borders).
+
+    On TPU this dispatches to the fused Pallas stencil
+    (ops/smoothness_pallas.py); the XLA form below is the portable path."""
+    if jax.default_backend() == "tpu":
+        from liodom_tpu.ops.smoothness_pallas import smoothness_pallas
+        return smoothness_pallas(img.xyz, img.count)
     x = img.xyz  # (R, W, 3)
     w = x.shape[1]
     acc = -11.0 * x

@@ -107,6 +107,28 @@ def point_to_line_jacobian(pose: Pose, cp: jax.Array, lpa: jax.Array,
     return r, J
 
 
+def point_to_point_residual(pose: Pose, cp: jax.Array,
+                            mp: jax.Array) -> jax.Array:
+    """Point2PointFactor residual (factors.hpp:29-61): ``R cp + t - mp``.
+
+    Defined (and tested) for parity: the reference declares this factor but
+    never adds it to the problem — its pipeline is edge/line-only."""
+    return se3.quat_rotate(pose.q, cp) + pose.t - mp
+
+
+def point_to_point_jacobian(pose: Pose, cp: jax.Array, mp: jax.Array
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Residual + analytic Jacobian of the point-to-point factor w.r.t. the
+    6-dim tangent (same retraction as the line factor)."""
+    u = se3.quat_rotate(pose.q, cp)
+    r = u + pose.t - mp
+    J = jnp.concatenate([
+        -_skew(u),
+        jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), r.shape[:-1] + (3, 3)),
+    ], axis=-1)
+    return r, J
+
+
 def huber_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
     """IRLS weight rho'(s) for Ceres HuberLoss(delta): 1 inside, delta/sqrt(s)
     outside (laser_odometry.cc:201)."""
