@@ -104,3 +104,67 @@ def test_filter_local_map_path():
     cfg = CFG.replace(filter_local_map=True, local_map_size=3)
     est, gt = _run_sequence(cfg, n_frames=6, speed=0.5, noise=0.0)
     assert _ate(est, gt) < 0.1
+
+
+def test_empty_scan_holds_prediction():
+    """All-padding scan -> 0 edges, pose = constant-velocity prediction,
+    everything finite."""
+    import jax.numpy as jnp
+    import numpy as np
+    from liodom_tpu import LiodomConfig
+    from liodom_tpu.odometry import pipeline as P
+
+    cfg = LiodomConfig(max_points=4096, ring_width=128, scan_lines=16,
+                       local_map_size=2)
+    state = P.init_state(cfg)
+    xyz = jnp.zeros((cfg.max_points, 3))
+    valid = jnp.zeros((cfg.max_points,), bool)
+    state, pose, n_edges = P.full_step(state, xyz, valid, cfg)
+    assert int(n_edges) == 0
+    np.testing.assert_allclose(np.asarray(pose.t), 0.0, atol=1e-9)
+    assert np.isfinite(np.asarray(pose.q)).all()
+
+
+def test_nan_points_never_leak():
+    """NaN-poisoned input points must not reach edges or the pose."""
+    import jax.numpy as jnp
+    import numpy as np
+    from liodom_tpu import LiodomConfig
+    from liodom_tpu.core.frame import RawScan
+    from liodom_tpu.core.synth import BoxWorld
+    from liodom_tpu.odometry import pipeline as P
+
+    cfg = LiodomConfig(max_points=65536, ring_width=512, scan_lines=64,
+                       local_map_size=2)
+    world = BoxWorld(seed=5)
+    pts = world.render(np.zeros(3), np.eye(3), width=500, noise=0.01,
+                       seed=5)
+    pts[::7] = np.nan
+    raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
+    state = P.init_state(cfg)
+    for _ in range(2):
+        state, pose, n_edges = P.full_step(state, raw.xyz, raw.valid, cfg)
+    assert int(n_edges) > 0
+    assert np.isfinite(np.asarray(pose.t)).all()
+    assert np.isfinite(np.asarray(pose.q)).all()
+    w = np.asarray(state.window.xyz)
+    assert np.isfinite(w[np.asarray(state.window.valid)]).all()
+
+
+def test_out_of_range_scan():
+    """Points entirely outside [min_range, max_range] -> 0 edges."""
+    import jax.numpy as jnp
+    import numpy as np
+    from liodom_tpu import LiodomConfig
+    from liodom_tpu.core.frame import RawScan
+    from liodom_tpu.odometry import pipeline as P
+
+    cfg = LiodomConfig(max_points=4096, ring_width=128, scan_lines=16,
+                       local_map_size=2)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.0, 1.0, (2000, 3)).astype(np.float32)  # < 3 m XY
+    raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
+    state = P.init_state(cfg)
+    state, pose, n_edges = P.full_step(state, raw.xyz, raw.valid, cfg)
+    assert int(n_edges) == 0
+    assert np.isfinite(np.asarray(pose.t)).all()
