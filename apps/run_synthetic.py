@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--noise", type=float, default=0.0, help="sensor sigma, m")
     ap.add_argument("--width", type=int, default=1800, help="azimuth samples")
     ap.add_argument("--local-map-size", type=int, default=5)
+    ap.add_argument("--mapping", action="store_true",
+                    help="fused odometry + hash-grid mapping with the "
+                    "adaptive local-map feedback loop")
     ap.add_argument("--save-results-dir", default=None,
                     help="dump KITTI poses.txt + timing files here")
     args = ap.parse_args()
@@ -38,6 +41,7 @@ def main():
 
     print(f"devices: {jax.devices()}")
     cfg = LiodomConfig(local_map_size=args.local_map_size,
+                       mapping=args.mapping,
                        save_results=args.save_results_dir is not None)
 
     world = BoxWorld(seed=0)
@@ -59,17 +63,30 @@ def main():
                                noise=args.noise, seed=100 + i)),
         cfg.max_points) for i in range(args.frames)]
 
+    if args.mapping:
+        from liodom_tpu import MapConfig
+        from liodom_tpu.mapping.service import combined_step, init_combined
+        mcfg = MapConfig()
+        state, mstate = init_combined(cfg, mcfg)
+
+        def step(st, raw):
+            nonlocal mstate
+            st, mstate, pose, ne = combined_step(
+                st, mstate, raw.xyz, raw.valid, cfg, mcfg)
+            return st, pose, ne
+    else:
+        def step(st, raw):
+            return P.full_step(st, raw.xyz, raw.valid, cfg)
+
     t0 = time.perf_counter()
-    state, pose, n_edges = P.full_step(state, scans[0].xyz, scans[0].valid,
-                                       cfg)
+    state, pose, n_edges = step(state, scans[0])
     np.asarray(pose.t)
     t_compile = time.perf_counter() - t0
 
     poses, n_edges_all = [pose], [n_edges]
     t0 = time.perf_counter()
     for i in range(1, args.frames):
-        state, pose, n_edges = P.full_step(state, scans[i].xyz,
-                                           scans[i].valid, cfg)
+        state, pose, n_edges = step(state, scans[i])
         poses.append(pose)
         n_edges_all.append(n_edges)
     np.asarray(pose.t)  # host fetch = the only reliable barrier here
