@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Per-stage device-time breakdown of the odometry / mapping frame path.
+
+Times each compiled stage of the flagship pipeline in isolation on real
+inputs (captured from a short synthetic drive), plus the fused end-to-end
+steps.  Methodology: N dispatches of the jitted stage queued back-to-back,
+closed by a single small host fetch — same barrier discipline as bench.py
+(block_until_ready can return early on the tunneled TPU backend).
+
+Prints a human table to stderr and a JSON dict to stdout:
+    {"stage_ms": {...}, "odom_ms": ..., "combined_ms": ...}
+
+The reference's per-stage instrumentation is Clock timers around feature
+extraction (feature_extractor.cc:55-60) and odometry (laser_odometry.cc:
+140,237) dumped by stats.cc:97-131; this is the device-level equivalent.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, fetch, reps=30, warmup=3):
+    """Mean ms/call of `fn` over `reps` chained dispatches.
+
+    `fetch(out)` must pull a small piece of the result to the host."""
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) * 1e3 / reps
+
+
+def main():
+    from liodom_tpu import LiodomConfig
+    from liodom_tpu.core.config import MapConfig
+    from liodom_tpu.core.frame import RingImage, EdgeCloud
+    from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
+    from liodom_tpu.odometry import pipeline as P
+    from liodom_tpu.odometry import local_map as LM
+    from liodom_tpu.ops.features import smoothness, select_edges
+    from liodom_tpu.ops.neighbors import line_correspondences
+    from liodom_tpu.ops.solver import lm_solve
+    from liodom_tpu.mapping import grid as G
+    from liodom_tpu.mapping.service import init_combined, combined_image_step
+    from liodom_tpu.runtime import native
+    from liodom_tpu.core import pose as se3
+
+    cfg = LiodomConfig(local_map_size=5)
+    mcfg = MapConfig()
+    ccfg = cfg.replace(mapping=True)
+    world = BoxWorld(seed=0)
+    n_frames = 12
+    pos, yaws = drive_trajectory(n_frames, speed=1.2, yaw_rate=0.01)
+    scans = []
+    for i in range(n_frames):
+        scan = world.render(pos[i], yaw_matrix(yaws[i]), width=1800,
+                            noise=0.01, seed=i)
+        img, counts = native.split_velodyne(
+            scan.astype(np.float32), cfg.scan_lines, cfg.ring_width,
+            cfg.min_range, cfg.max_range)
+        scans.append((jnp.asarray(img), jnp.asarray(counts)))
+
+    # ---- capture representative intermediates by running the pipeline ----
+    state = P.init_state(cfg)
+    for i in range(n_frames - 1):
+        state, pose, _ = P.image_step(state, scans[i][0], scans[i][1], cfg)
+    np.asarray(pose.t)
+    img = RingImage(scans[-1][0], scans[-1][1])
+    sm = jax.jit(lambda x, c: smoothness(RingImage(x, c), cfg))(
+        img.xyz, img.count)
+    edges = select_edges(img, sm, cfg)
+    eorder = jnp.argsort(~edges.valid, stable=True)
+    evalid = edges.valid[eorder]
+    edges_c = EdgeCloud(jnp.where(evalid[:, None], edges.xyz[eorder], 0.0),
+                        evalid)
+    map_xyz, map_valid = LM.flatten(state.window)
+    pred = se3.compose(state.odom,
+                       se3.compose(se3.inverse(state.prev_odom), state.odom))
+    edges_world = se3.transform(pred, edges_c.xyz)
+    corr = line_correspondences(
+        edges_world, edges_c.valid, map_xyz, map_valid,
+        k=cfg.knn_k, max_sq_dist=cfg.knn_max_sq_dist,
+        eig_ratio=cfg.eig_ratio, min_line_sep=cfg.min_line_sep)
+
+    # combined-path state for the mapping stages
+    co, cm = init_combined(ccfg, mcfg)
+    for i in range(n_frames - 1):
+        co, cm, cpose, _ = combined_image_step(
+            co, cm, scans[i][0], scans[i][1], ccfg, mcfg)
+    np.asarray(cpose.t)
+
+    stage_ms = {}
+
+    f_smooth = jax.jit(lambda x, c: smoothness(RingImage(x, c), cfg))
+    stage_ms["smoothness"] = timeit(
+        lambda: f_smooth(img.xyz, img.count),
+        lambda o: np.asarray(o[0, 0]))
+
+    f_select = jax.jit(lambda x, c, s: select_edges(RingImage(x, c), s, cfg))
+    stage_ms["select_edges"] = timeit(
+        lambda: f_select(img.xyz, img.count, sm),
+        lambda o: np.asarray(o.valid[0]))
+
+    f_corr = jax.jit(lambda ew, ev, mx, mv: line_correspondences(
+        ew, ev, mx, mv, k=cfg.knn_k, max_sq_dist=cfg.knn_max_sq_dist,
+        eig_ratio=cfg.eig_ratio, min_line_sep=cfg.min_line_sep))
+    stage_ms["knn_line_fit"] = timeit(
+        lambda: f_corr(edges_world, edges_c.valid, map_xyz, map_valid),
+        lambda o: np.asarray(o.valid[0]))
+
+    f_lm = jax.jit(lambda p, ex, a, b, v: lm_solve(
+        p, ex, a, b, v, min_range=cfg.min_range, max_range=cfg.max_range,
+        huber_delta=cfg.huber_delta, iters=cfg.inner_iters))
+    stage_ms["lm_solve"] = timeit(
+        lambda: f_lm(pred, edges_c.xyz, corr.lpa, corr.lpb, corr.valid),
+        lambda o: np.asarray(o.t))
+
+    f_push = jax.jit(lambda w, x, v: LM.push(w, x, v))
+    stage_ms["window_push"] = timeit(
+        lambda: f_push(state.window, edges_world, edges_c.valid),
+        lambda o: np.asarray(o.nframes))
+
+    stage_ms["map_update"] = timeit(
+        lambda: G.update_map(cm, edges_c.xyz, edges_c.valid, cpose, mcfg),
+        lambda o: np.asarray(o.n_cells))
+
+    stage_ms["map_local"] = timeit(
+        lambda: G.get_local_map(cm, cpose.t, mcfg,
+                                capacity=mcfg.local_map_capacity),
+        lambda o: np.asarray(o[1][0]))
+
+    # fused end-to-end (state-chained like production)
+    st = P.init_state(cfg)
+    for i in range(3):
+        st, p0, _ = P.image_step(st, scans[i][0], scans[i][1], cfg)
+    np.asarray(p0.t)
+    t0 = time.perf_counter()
+    reps = 30
+    for r in range(reps):
+        i = 3 + (r % (n_frames - 3))
+        st, p0, _ = P.image_step(st, scans[i][0], scans[i][1], cfg)
+    np.asarray(p0.t)
+    odom_ms = (time.perf_counter() - t0) * 1e3 / reps
+
+    co2, cm2 = init_combined(ccfg, mcfg)
+    for i in range(3):
+        co2, cm2, p1, _ = combined_image_step(
+            co2, cm2, scans[i][0], scans[i][1], ccfg, mcfg)
+    np.asarray(p1.t)
+    t0 = time.perf_counter()
+    for r in range(reps):
+        i = 3 + (r % (n_frames - 3))
+        co2, cm2, p1, _ = combined_image_step(
+            co2, cm2, scans[i][0], scans[i][1], ccfg, mcfg)
+    np.asarray(p1.t)
+    combined_ms = (time.perf_counter() - t0) * 1e3 / reps
+
+    print("stage                 ms/call", file=sys.stderr)
+    for k, v in stage_ms.items():
+        print(f"  {k:<20}{v:8.3f}", file=sys.stderr)
+    print(f"  {'odom fused step':<20}{odom_ms:8.3f}", file=sys.stderr)
+    print(f"  {'combined fused step':<20}{combined_ms:8.3f}", file=sys.stderr)
+    print(json.dumps({"stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
+                      "odom_ms": round(odom_ms, 3),
+                      "combined_ms": round(combined_ms, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,18 +7,21 @@ TPU-first re-design of the reference's ``Map``/``Cell``/``HashKey``
   per update, transforms the incoming cloud to world, routes every point into
   its cell (map.cc:97-121), then re-voxelises every *modified* cell at
   ``resolution_`` with ``pcl::VoxelGrid`` (map.cc:124-128).
-* Here the map is a flat **point soup**: padded arrays ``xyz (C,3)``,
-  ``key (C,3) int32`` (the cell key of each point), ``valid (C,)``.  An update
-  concatenates the incoming world points with the soup, sorts by
-  ``(cell key, resolution-leaf index)`` and takes one segment-mean — which is
-  simultaneously the hash-insert *and* the per-cell re-voxelisation.  This is
-  exact w.r.t. the reference because (a) PCL's VoxelGrid leaves live on the
-  *global* grid ``floor(p / leaf)`` (only leaf membership matters, not the
-  cell's bounding box), and (b) centroid filtering is idempotent — an
-  unmodified (already filtered) cell has one point per leaf, so re-filtering
-  it returns it unchanged.  Filtering everything every update therefore
-  equals the reference's modified-only filtering, as a single wide sort
-  instead of per-cell FLANN-free loops.
+* Here the map is a device-resident **open-addressing hash table over
+  resolution leaves** — the TPU shape of the same idea.  Each slot holds one
+  filtered point (the centroid of its 0.4 m leaf), its cell key, and a packed
+  (cell, leaf) identity code.  An update inserts the frame's points with a
+  data-parallel linear-probe loop (E-sized gathers/scatters only — nothing
+  ever touches all C rows), then folds the per-slot sums into the stored
+  centroids.  This is exact w.r.t. the reference because (a) PCL's VoxelGrid
+  leaves live on the *global* grid ``floor(p / leaf)`` (only leaf membership
+  matters, not the cell's bounding box), and (b) a previously-filtered leaf
+  holds exactly one point, so re-filtering a modified cell means averaging
+  the stored centroid (weight 1) with the new points — precisely the fold.
+* :func:`update_map_full` keeps the alternative formulation — merge + global
+  sort by (cell key, leaf) + segment mean — as the semantic oracle the hash
+  path is tested against (same point sets, same cell/filter semantics; row
+  order is an internal layout detail).
 
 Cell keys replicate ``updateMap``'s quantisation *exactly*, including the
 C++ ``int`` truncation-toward-zero (map.cc:103-105):
@@ -30,6 +33,14 @@ including its quirk of computing the Z column bounds with the *XY* size but
 stepping by the Z size (map.cc:175-178) — is replicated behaviourally via
 statically precomputed key offsets (SURVEY.md: "replicate behavior, not the
 likely bug").
+
+Why a hash table and not a sorted soup: on TPU, XLA-level random data
+movement over the full map (argsort + apply-permutation gathers, or
+insertion-shift scatters of C rows) costs milliseconds per frame at
+C = 262k, while E-sized (~5k) gathers/scatters and elementwise passes are
+~100 µs-scale.  The probe loop does O(E) work per frame regardless of map
+size — the same sparsity the reference exploits by re-filtering only
+modified cells.
 """
 
 from __future__ import annotations
@@ -47,20 +58,36 @@ from liodom_tpu.core import pose as se3
 
 
 class MapState(NamedTuple):
-    xyz: jax.Array       # (C, 3) map points (filtered soup), world frame
-    key: jax.Array       # (C, 3) int32 cell key of each point
-    valid: jax.Array     # (C,) bool
-    n_cells: jax.Array   # () int32 — distinct occupied cells
-    overflow: jax.Array  # () int32 — points dropped at capacity, cumulative
+    xyz: jax.Array       # (C, 3) slot centroid (world frame); 0 when empty
+    key: jax.Array       # (C, 3) int32 cell key of the slot
+    valid: jax.Array     # (C,) bool — slot occupied
+    n_cells: jax.Array   # () int32 — distinct occupied cells (exact)
+    overflow: jax.Array  # () int32 — points dropped (probe/capacity), cum.
+    code1: jax.Array     # (C,) uint32 — packed (cell, leaf) identity, major
+    code2: jax.Array     # (C,) uint32 — minor word; empty slots hold MAX
+    # secondary open-addressing table of occupied CELLS (for exact n_cells
+    # bookkeeping without scanning); cell codes are (k1, k2 >> 21)
+    cell1: jax.Array     # (Cc,) uint32
+    cell2: jax.Array     # (Cc,) uint32
 
 
-def init_map(capacity: int, dtype=jnp.float32) -> MapState:
+_MAXU32 = jnp.uint32(0xFFFFFFFF)
+_MAX_PROBES = 64
+
+
+def init_map(capacity: int, dtype=jnp.float32,
+             cell_capacity: int | None = None) -> MapState:
+    cc = cell_capacity if cell_capacity is not None else max(capacity // 8, 64)
     return MapState(
         jnp.zeros((capacity, 3), dtype),
         jnp.zeros((capacity, 3), jnp.int32),
         jnp.zeros((capacity,), bool),
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
+        jnp.full((capacity,), _MAXU32),
+        jnp.full((capacity,), _MAXU32),
+        jnp.full((cc,), _MAXU32),
+        jnp.full((cc,), _MAXU32),
     )
 
 
@@ -91,34 +118,35 @@ def _lex_order(cols: Sequence[jax.Array]) -> jax.Array:
     return order
 
 
-# Packed sort path: bits per cell-index / per-cell leaf offset (see
-# _packed_order).  12 cell bits = ±2^11 cells per axis (±82 km at 40 m
+# Packed code path: bits per cell-index / per-cell leaf offset (see
+# _packed_codes).  12 cell bits = ±2^11 cells per axis (±82 km at 40 m
 # cells); 7 leaf bits require ceil(size/res) + 2 <= 128.
 _CELL_BITS = 12
 _LEAF_BITS = 7
 
 
 def packable(cfg: MapConfig) -> bool:
-    """True when (cell, leaf) codes fit the packed 58-bit key layout."""
+    """True when (cell, leaf) codes fit the packed 57-bit key layout."""
     per_leaf = max(cfg.voxel_xysize, cfg.voxel_zsize) / cfg.resolution
     return (per_leaf + 2.0) <= float(1 << _LEAF_BITS) and \
         min(cfg.voxel_xysize, cfg.voxel_zsize, cfg.resolution) >= 0.01
 
 
-def _packed_order(xyz: jax.Array, ok: jax.Array, cfg: MapConfig
-                  ) -> jax.Array:
-    """Sort order equivalent to the 6-column (cell key, leaf index) lex sort
-    of ``update_map`` — but via TWO uint32 stable argsorts instead of six.
+def _packed_codes(xyz: jax.Array, ok: jax.Array, cfg: MapConfig
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Packed (cell, leaf) identity code per point, as a uint32 pair
+    ``(k1 major, k2 minor)`` — ordering by it is equivalent to the 6-column
+    (cell key, leaf index) lex sort of ``update_map_full``.
 
     The 57-bit code is CELL-MAJOR — ``[cx | cy | cz | lrx | lry | lrz]``
-    (12b offset-unsigned cell indices, 7b per-cell leaf offsets) — so all
-    points of a cell stay contiguous (n_cells counting depends on that).
+    (12b offset-unsigned cell indices, 7b per-cell leaf offsets).
     cell_index = floor(p/size) is a strictly monotonic relabeling of the
     reference's meter-valued cell key (injective for size >= 1), and
     leaf_within_cell = leaf - base_leaf(cell) is bijective to the global
-    leaf inside one cell, so the induced grouping matches the 6-column sort
-    exactly (cells with clamped out-of-range indices, ±82 km out, alias).
-    Invalid rows carry a dedicated top bit and sort last."""
+    leaf inside one cell, so code equality == same (cell, leaf) exactly
+    (cells with clamped out-of-range indices, ±82 km out, alias).  Invalid
+    rows get the all-ones code (valid codes always have the k1 top bit
+    clear — it doubles as the empty-slot sentinel)."""
     sx, sz, res = cfg.voxel_xysize, cfg.voxel_zsize, cfg.resolution
     half_cells = 1 << (_CELL_BITS - 1)
 
@@ -135,25 +163,160 @@ def _packed_order(xyz: jax.Array, ok: jax.Array, cfg: MapConfig
     cux, lrx = axis_codes(xyz[:, 0], sx)
     cuy, lry = axis_codes(xyz[:, 1], sx)
     cuz, lrz = axis_codes(xyz[:, 2], sz)
-    inval = (~ok).astype(jnp.uint32)
-    # [inval(1) | cx(12) | cy(12) | cz(12) | lrx(7) | lry(7) | lrz(7)]:
+    # [0(1) | cx(12) | cy(12) | cz(12) | lrx(7) | lry(7) | lrz(7)]:
     # K1 = top 32 bits, K2 = bottom 26
-    k1 = (inval << 31) | (cux << 19) | (cuy << 7) | (cuz >> 5)
+    k1 = (cux << 19) | (cuy << 7) | (cuz >> 5)
     k2 = ((cuz & jnp.uint32(0x1F)) << 21) | (lrx << 14) | (lry << 7) | lrz
+    k1 = jnp.where(ok, k1, _MAXU32)
+    k2 = jnp.where(ok, k2, _MAXU32)
+    return k1, k2
+
+
+def _order_by_codes(k1: jax.Array, k2: jax.Array) -> jax.Array:
+    """Stable ascending order by the (k1, k2) pair — two uint32 argsorts."""
     order = jnp.argsort(k2, stable=True)
     return order[jnp.argsort(k1[order], stable=True)]
+
+
+def _hash_pair(k1: jax.Array, k2: jax.Array, table_size: int) -> jax.Array:
+    """Slot hash of a (k1, k2) code pair — two odd-constant multiplies mixed
+    (Fibonacci/Murmur-style), mod table size."""
+    h = (k1 * jnp.uint32(0x9E3779B1)) ^ (k2 * jnp.uint32(0x85EBCA77))
+    h = h ^ (h >> 15)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def _probe_insert(tab1: jax.Array, tab2: jax.Array, k1: jax.Array,
+                  k2: jax.Array, active: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array,
+                             jax.Array]:
+    """Data-parallel find-or-insert of codes ``(k1, k2)`` into the
+    open-addressing table ``(tab1, tab2)`` (empty slots hold the all-ones
+    sentinel; valid codes always have the k1 top bit clear).
+
+    Quadratic probing with triangular increments (slot += round) — visits
+    every slot when the table size is a power of two (recommended), and
+    avoids the primary clustering that makes linear probe chains blow up
+    past ~60% load.  Claim races resolve by lexicographic-min scatter, so
+    the outcome is deterministic and duplicate codes converge on one slot.
+    Returns (tab1, tab2, slot (N,), claimed (N,), failed (N,)):
+    ``slot`` is each code's home (undefined where ``failed``), ``claimed``
+    marks codes that created their slot this call."""
+    n = tab1.shape[0]
+
+    def body(carry):
+        tab1, tab2, slot, done, claimed, probe = carry
+        s = jnp.where(done, 0, slot)               # parked index for done rows
+        g1, g2 = tab1[s], tab2[s]
+        match = ~done & (g1 == k1) & (g2 == k2)
+        empty = ~done & (g1 == _MAXU32) & (g2 == _MAXU32)
+        # claim attempt: lexicographic-min wins the slot
+        t1 = tab1.at[jnp.where(empty, slot, n)].min(k1, mode="drop")
+        won1 = empty & (t1[s] == k1)
+        t2 = tab2.at[jnp.where(won1, slot, n)].min(k2, mode="drop")
+        won = won1 & (t2[s] == k2)
+        done_now = match | won
+        claimed = claimed | won
+        done = done | done_now
+        # triangular quadratic step: slot_r = h0 + r(r+1)/2 mod n
+        slot = jnp.where(done, slot, (slot + probe + 1) % n)
+        return t1, t2, slot, done, claimed, probe + 1
+
+    def cond(carry):
+        *_, done, _claimed, probe = carry
+        return jnp.any(~done) & (probe < _MAX_PROBES)
+
+    slot0 = _hash_pair(k1, k2, n)
+    done0 = ~active
+    claimed0 = jnp.zeros_like(active)
+    tab1, tab2, slot, done, claimed, _ = jax.lax.while_loop(
+        cond, body, (tab1, tab2, slot0, done0, claimed0, jnp.int32(0)))
+    failed = active & ~done
+    return tab1, tab2, slot, claimed, failed
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def update_map(state: MapState, pts: jax.Array, valid: jax.Array,
                pose: Pose, cfg: MapConfig) -> MapState:
-    """Insert a (sensor-frame) cloud at ``pose`` and re-voxelise
-    (``Map::updateMap``, map.cc:90-129).
+    """Hash-grid ``Map::updateMap`` — the production fast path.
+
+    Mirrors map.cc:90-129 the way the reference's own data structure does:
+    transform to world, route each point to its (cell, leaf), insert-or-get
+    the slot (the reference's ``unordered_map`` insert, map.cc:108-118),
+    then fold the new points into the slot centroid — the re-voxelisation of
+    modified cells (map.cc:124-128; a previously-filtered leaf is a single
+    stored centroid of weight 1, so the fold IS VoxelGrid over {stored
+    centroid} ∪ {new points}).
+
+    Point-set semantics equal :func:`update_map_full` (tested); layout
+    differs (hash slots vs sorted rows).  Deviations, both counted in
+    ``overflow``: points are dropped when linear probing exhausts
+    ``_MAX_PROBES`` slots or the table is effectively full — the reference
+    grows without bound instead.  Non-packable configs (see
+    :func:`packable`) fall back to the full path."""
+    if not packable(cfg):
+        return update_map_full(state, pts, valid, pose, cfg)
+
+    cap = state.xyz.shape[0]
+    dtype = state.xyz.dtype
+
+    new_xyz = se3.transform(pose, pts.astype(dtype))
+    new_key = cell_keys(new_xyz, cfg)
+    k1, k2 = _packed_codes(new_xyz, valid, cfg)
+
+    tab1, tab2, slot, claimed, failed = _probe_insert(
+        state.code1, state.code2, k1, k2, valid)
+    ok = valid & ~failed
+    slot_c = jnp.where(ok, slot, cap)               # cap -> dropped
+
+    # fold: per-slot sums of the new points (+1 for a pre-existing centroid)
+    add_sum = jnp.zeros((cap, 3), dtype).at[slot_c].add(
+        jnp.where(ok[:, None], new_xyz, 0.0), mode="drop")
+    add_cnt = jnp.zeros((cap,), dtype).at[slot_c].add(
+        ok.astype(dtype), mode="drop")
+    base_w = state.valid.astype(dtype)              # stored centroid weight
+    touched = add_cnt > 0
+    out_xyz = jnp.where(touched[:, None],
+                        (state.xyz * base_w[:, None] + add_sum)
+                        / (base_w + add_cnt)[:, None],
+                        state.xyz)
+    # stamp key/valid on newly-claimed slots (claim winners share the code,
+    # hence the key — duplicate writes are identical)
+    stamp = jnp.where(claimed & ok, slot, cap)
+    out_key = state.key.at[stamp].set(new_key, mode="drop")
+    out_valid = state.valid.at[stamp].set(True, mode="drop")
+
+    # exact n_cells: find-or-insert the CELL code of newly-claimed leaves
+    # into the secondary cell table; new cells = slots that transitioned
+    # empty -> occupied (several same-cell claimants converge on one slot,
+    # so counting claimants would overcount)
+    c1 = jnp.where(claimed & ok, k1, _MAXU32)
+    c2 = jnp.where(claimed & ok, k2 >> 21, _MAXU32)
+    cell1, cell2, _, _, _ = _probe_insert(
+        state.cell1, state.cell2, c1, c2, claimed & ok)
+    n_cells = state.n_cells + jnp.sum(
+        ((state.cell1 == _MAXU32) & (cell1 != _MAXU32)).astype(jnp.int32))
+
+    dropped = jnp.sum((valid & failed).astype(jnp.int32))
+    return MapState(out_xyz, out_key, out_valid, n_cells,
+                    state.overflow + dropped, tab1, tab2, cell1, cell2)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def update_map_full(state: MapState, pts: jax.Array, valid: jax.Array,
+                    pose: Pose, cfg: MapConfig) -> MapState:
+    """Sorted-soup ``Map::updateMap`` — the semantic oracle.
 
     One fused pass: world transform -> cell keys -> merge with the existing
-    soup -> sort by (cell, leaf) -> segment centroid -> recompacted soup.
-    Overflow beyond the soup capacity is counted, and the points kept are the
-    lexicographically-smallest keys (deterministic, spatially coherent)."""
+    points -> sort by (cell, leaf) -> segment centroid -> recompacted rows
+    (ascending by packed code).  Overflow beyond capacity is counted, and
+    the points kept are the lexicographically-smallest keys.
+
+    O((C+E) log (C+E)) data movement per call — use :func:`update_map` in
+    production; this exists to pin the semantics (tests assert point-set
+    equality between the two).  NOTE: output states follow the sorted-rows
+    layout; feed them back to ``update_map_full`` only (the hash path
+    requires its own probe-table layout)."""
     cap = state.xyz.shape[0]
     dtype = state.xyz.dtype
 
@@ -169,7 +332,9 @@ def update_map(state: MapState, pts: jax.Array, valid: jax.Array,
     leaf = _leaf_index(xyz, cfg.resolution)
     if packable(cfg):
         # 2-sort packed path (3x fewer argsorts; identical grouping)
-        order = _packed_order(xyz, ok, cfg)
+        k1, k2 = _packed_codes(xyz, ok, cfg)
+        order = _order_by_codes(k1, k2)
+        k1_s, k2_s = k1[order], k2[order]
     else:
         # generic 6-column lex sort; invalid rows last via a bumped major key
         inval = (~ok).astype(jnp.int32)
@@ -177,6 +342,7 @@ def update_map(state: MapState, pts: jax.Array, valid: jax.Array,
                 key[:, 1], key[:, 2],
                 leaf[:, 0], leaf[:, 1], leaf[:, 2]]
         order = _lex_order(cols)
+        k1_s = k2_s = jnp.full((n,), _MAXU32)
     xyz_s = xyz[order]
     key_s = key[order]
     leaf_s = leaf[order]
@@ -202,6 +368,8 @@ def update_map(state: MapState, pts: jax.Array, valid: jax.Array,
     out_xyz = jnp.where(live[:, None], means, 0.0)[:cap]
     out_key = jnp.where(live[:, None], seg_key, 0)[:cap]
     out_valid = live[:cap]
+    out_k1 = jnp.where(live, k1_s[seg_first], _MAXU32)[:cap]
+    out_k2 = jnp.where(live, k2_s[seg_first], _MAXU32)[:cap]
     dropped = jnp.maximum(n_seg - cap, 0)
 
     # distinct cells among surviving rows (cell key change marks a new cell)
@@ -211,7 +379,8 @@ def update_map(state: MapState, pts: jax.Array, valid: jax.Array,
     n_cells = jnp.sum((cell_head & out_valid).astype(jnp.int32))
 
     return MapState(out_xyz, out_key, out_valid, n_cells,
-                    state.overflow + dropped)
+                    state.overflow + dropped, out_k1, out_k2,
+                    state.cell1, state.cell2)
 
 
 def get_map(state: MapState) -> Tuple[jax.Array, jax.Array]:
@@ -260,19 +429,25 @@ def get_local_map(state: MapState, position: jax.Array, cfg: MapConfig,
     ``position``, compacted to ``capacity`` rows (+ mask).
 
     The reference truncates the pose translation to ``int`` *before*
-    quantising (map.cc:146-154) — replicated."""
-    cap = capacity if capacity is not None else state.xyz.shape[0]
+    quantising (map.cc:146-154) — replicated.  Works on either map layout
+    (hash slots or sorted rows) — membership is by stored cell key."""
+    c = state.xyz.shape[0]
+    cap = capacity if capacity is not None else c
     base = cell_keys(jnp.trunc(position), cfg)             # (3,)
     offs = jnp.asarray(local_map_offsets(cfg, cells_xy, cells_z))  # (K, 3)
     targets = base[None, :] + offs                         # (K, 3)
     # (C, K) membership: point's cell key equals any target key
     eq = jnp.all(state.key[:, None, :] == targets[None, :, :], axis=-1)
     hit = jnp.any(eq, axis=-1) & state.valid               # (C,)
-    # compact hits to the front (stable: keeps soup order)
-    order = jnp.argsort(~hit, stable=True)[:cap]
-    out_xyz = state.xyz[order]
-    out_valid = hit[order]
-    return jnp.where(out_valid[:, None], out_xyz, 0.0), out_valid
+    # compact hits to the front, preserving row order: cumsum rank + scatter
+    # (O(C), vs an O(C log C) full argsort)
+    pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
+    dest = jnp.where(hit, pos, cap)                        # cap -> dropped
+    out_xyz = jnp.zeros((cap, 3), state.xyz.dtype).at[dest].set(
+        state.xyz, mode="drop")
+    n_hits = pos[-1] + 1
+    out_valid = jnp.arange(cap, dtype=jnp.int32) < n_hits
+    return out_xyz, out_valid
 
 
 def map_entropy(state: MapState, bucket_count: int | None = None) -> float:

@@ -219,3 +219,96 @@ def test_map_entropy_positive_and_finite():
     h = map_entropy(state)
     assert np.isfinite(h) and h > 0.0
     assert map_entropy(init_map(16)) == 0.0
+
+
+# ------------------------------------------- incremental == full equivalence
+
+def _rand_pose(rng, i):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    t = rng.normal(size=3) * 5 + np.array([i * 2.0, 0.0, 0.0])
+    return Pose(jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32))
+
+
+def _assert_states_equivalent(a, b, i):
+    """Hash-layout state ``a`` vs sorted-layout state ``b``: same point
+    SETS (layout is an internal detail), same keys per point, same cell
+    count and overflow."""
+    av = np.asarray(a.valid)
+    bv = np.asarray(b.valid)
+    assert av.sum() == bv.sum(), i
+    assert int(a.n_cells) == int(b.n_cells), i
+    assert int(a.overflow) == int(b.overflow), i
+    # match rows by (cell key, rounded centroid): every hash slot must have
+    # exactly one sorted-row counterpart (centroids agree up to float-sum
+    # reassociation — documented-equal)
+    a_rows = np.concatenate([np.asarray(a.key)[av],
+                             np.round(np.asarray(a.xyz)[av] * 1e4)], axis=1)
+    b_rows = np.concatenate([np.asarray(b.key)[bv],
+                             np.round(np.asarray(b.xyz)[bv] * 1e4)], axis=1)
+    sa = {tuple(r) for r in a_rows.astype(np.int64)}
+    sb = {tuple(r) for r in b_rows.astype(np.int64)}
+    assert sa == sb, (i, len(sa - sb), len(sb - sa))
+
+
+def test_hash_equals_full_multiframe():
+    """update_map (hash probe) == update_map_full (re-sort oracle) over a
+    multi-frame sequence with rotations and invalid points."""
+    from liodom_tpu.mapping import update_map_full
+
+    rng = np.random.default_rng(10)
+    # ~3.6k distinct leaves over 8 frames -> ~45% final load factor; local
+    # capacity sized to never truncate (truncation keeps a deterministic but
+    # layout-dependent subset, so the two paths would diverge there)
+    mcfg = MapConfig(map_capacity=8192, local_map_capacity=4096)
+    a = init_map(mcfg.map_capacity)
+    b = init_map(mcfg.map_capacity)
+    for i in range(8):
+        pts = jnp.asarray(
+            rng.normal(size=(500, 3)) * np.array([30, 30, 5]), jnp.float32)
+        valid = jnp.asarray(rng.random(500) > 0.1)
+        pose = _rand_pose(rng, i)
+        a = update_map(a, pts, valid, pose, mcfg)
+        b = update_map_full(b, pts, valid, pose, mcfg)
+        _assert_states_equivalent(a, b, i)
+        la = get_local_map(a, pose.t, mcfg, capacity=mcfg.local_map_capacity)
+        lb = get_local_map(b, pose.t, mcfg, capacity=mcfg.local_map_capacity)
+        assert int(np.asarray(la[1]).sum()) == int(np.asarray(lb[1]).sum())
+        assert_same_cloud(np.asarray(la[0])[np.asarray(la[1])],
+                          np.asarray(lb[0])[np.asarray(lb[1])])
+    assert int(jnp.sum(a.valid)) > 1000  # the sequence actually filled it
+
+
+def test_hash_overflow_counted_and_bounded():
+    """At capacity the hash path drops and counts instead of growing (the
+    reference grows unbounded; documented deviation — drop choice is
+    probe-order dependent rather than largest-key)."""
+    rng = np.random.default_rng(11)
+    mcfg = MapConfig(map_capacity=256, local_map_capacity=128)
+    a = init_map(mcfg.map_capacity)
+    total = 0
+    for i in range(4):
+        pts = jnp.asarray(rng.normal(size=(300, 3)) * 20, jnp.float32)
+        valid = jnp.ones(300, bool)
+        pose = _rand_pose(rng, i)
+        a = update_map(a, pts, valid, pose, mcfg)
+        total += 300
+    assert int(a.overflow) > 0
+    assert int(jnp.sum(a.valid)) <= 256
+
+
+def test_hash_matches_numpy_reference():
+    """The hash path against the literal RefMap re-enactment —
+    the same oracle the full path is pinned to."""
+    rng = np.random.default_rng(12)
+    ref = RefMap(CFG.voxel_xysize, CFG.voxel_zsize, CFG.resolution)
+    state = init_map(CFG.map_capacity)
+    pose = Pose.identity()
+    for i in range(3):
+        pts = random_cloud(rng, 400, 80.0)
+        ref.update(pts.astype(np.float64), np.eye(4))
+        xyz, valid = pad_cloud(pts, 512)
+        state = update_map(state, xyz, valid, pose, CFG)
+    got = np.asarray(state.xyz)[np.asarray(state.valid)]
+    assert_same_cloud(got, ref.get_map())
+    assert int(state.n_cells) == len(ref.cells)
