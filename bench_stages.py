@@ -172,9 +172,16 @@ def main():
         print(f"  {k:<20}{v:8.3f}", file=sys.stderr)
     print(f"  {'odom fused step':<20}{odom_ms:8.3f}", file=sys.stderr)
     print(f"  {'combined fused step':<20}{combined_ms:8.3f}", file=sys.stderr)
-    print(json.dumps({"stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
-                      "odom_ms": round(odom_ms, 3),
-                      "combined_ms": round(combined_ms, 3)}))
+    payload = {"stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
+               "odom_ms": round(odom_ms, 3),
+               "combined_ms": round(combined_ms, 3),
+               "note": "isolated per-stage jits include a ~0.5-1 ms "
+                       "dispatch floor each; the fused steps are the "
+                       "ground truth"}
+    print(json.dumps(payload))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_STAGES.json"), "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

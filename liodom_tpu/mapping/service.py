@@ -45,34 +45,61 @@ def init_combined(cfg: LiodomConfig, mcfg: MapConfig
     return odom, init_map(mcfg.map_capacity)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg"))
+def _refresh_local_map(odom_state: OdomState, map_state: MapState,
+                       pose: Pose, mcfg: MapConfig, step, every: int
+                       ) -> OdomState:
+    """Hand the freshly-extracted local map to the odometer — every
+    ``every``-th frame.
+
+    ``every > 1`` mirrors the reference deployment more closely than
+    every-frame extraction: the mapper is a second PROCESS publishing at its
+    own cadence (latched topic + 3 s stale republish, liodom_mapping_node.cc:
+    92-106, 139-142) and the odometer merges whatever map it received *last*
+    (laser_odometry.cc:276-279) — a stale-by-a-few-frames local map is the
+    reference's normal operating mode."""
+    def fresh(_):
+        loc_xyz, loc_valid = get_local_map(
+            map_state, pose.t, mcfg, capacity=mcfg.local_map_capacity)
+        return odom_state._replace(received_xyz=loc_xyz,
+                                   received_valid=loc_valid)
+
+    if every <= 1 or step is None:
+        return fresh(None)
+    return jax.lax.cond(jnp.asarray(step) % every == 0,
+                        fresh, lambda _: odom_state, None)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "local_map_every"))
 def combined_step(odom_state: OdomState, map_state: MapState,
                   raw_xyz: jax.Array, raw_valid: jax.Array,
-                  cfg: LiodomConfig, mcfg: MapConfig
+                  cfg: LiodomConfig, mcfg: MapConfig,
+                  step=None, local_map_every: int = 1
                   ) -> Tuple[OdomState, MapState, Pose, jax.Array]:
     """One frame of odometry + mapping, fully fused.
 
     Order mirrors the reference dataflow: odometry solves against the map
     received *last* frame (laser_odometry.cc:310-314), then the mapper
     inserts this frame's edges at the solved pose (liodom_mapping_node.cc:
-    45-90) and the refreshed local map is handed to the next frame."""
+    45-90) and the refreshed local map is handed to the next frame.
+    ``local_map_every`` (with a ``step`` counter) throttles the local-map
+    extraction to the reference's async-mapper cadence — see
+    :func:`_refresh_local_map`."""
     from liodom_tpu.core.frame import RawScan
     from liodom_tpu.ops.features import extract_features
 
     edges = extract_features(RawScan(raw_xyz, raw_valid), cfg)
     new_odom, pose = _odom_only(odom_state, edges, cfg)
     map_state = update_map(map_state, edges.xyz, edges.valid, pose, mcfg)
-    loc_xyz, loc_valid = get_local_map(
-        map_state, pose.t, mcfg, capacity=mcfg.local_map_capacity)
-    new_odom = new_odom._replace(received_xyz=loc_xyz,
-                                 received_valid=loc_valid)
+    new_odom = _refresh_local_map(new_odom, map_state, pose, mcfg,
+                                  step, local_map_every)
     return new_odom, map_state, pose, edges.num_valid()
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg"))
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "local_map_every"))
 def combined_image_step(odom_state: OdomState, map_state: MapState,
                         img_xyz: jax.Array, img_count: jax.Array,
-                        cfg: LiodomConfig, mcfg: MapConfig
+                        cfg: LiodomConfig, mcfg: MapConfig,
+                        step=None, local_map_every: int = 1
                         ) -> Tuple[OdomState, MapState, Pose, jax.Array]:
     """:func:`combined_step` starting from a loader-split ring image
     (see odometry.pipeline.image_step)."""
@@ -83,10 +110,8 @@ def combined_image_step(odom_state: OdomState, map_state: MapState,
     edges = select_edges(img, smoothness(img, cfg), cfg)
     new_odom, pose = _odom_only(odom_state, edges, cfg)
     map_state = update_map(map_state, edges.xyz, edges.valid, pose, mcfg)
-    loc_xyz, loc_valid = get_local_map(
-        map_state, pose.t, mcfg, capacity=mcfg.local_map_capacity)
-    new_odom = new_odom._replace(received_xyz=loc_xyz,
-                                 received_valid=loc_valid)
+    new_odom = _refresh_local_map(new_odom, map_state, pose, mcfg,
+                                  step, local_map_every)
     return new_odom, map_state, pose, edges.num_valid()
 
 

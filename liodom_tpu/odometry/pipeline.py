@@ -122,6 +122,16 @@ def odometry_step(state: OdomState, edges: EdgeCloud, cfg: LiodomConfig,
         jnp.where(evalid[:, None], edges.xyz[eorder], 0.0), evalid)
 
     map_xyz, map_valid = _matching_map(state, cfg)
+    map_presorted = False
+    if jax.default_backend() == "tpu":
+        # Spatially order the matching map ONCE per frame: both solver
+        # iterations query the same map, so paying the M-sized sort here and
+        # passing ref_presorted to the kNN kernel halves its most expensive
+        # wrapper step.  Point set unchanged; matching-map order carries no
+        # semantics (the reference iterates PCL containers in storage order).
+        from liodom_tpu.ops.knn_pallas import spatial_sort_points
+        map_xyz, map_valid = spatial_sort_points(map_xyz, map_valid)
+        map_presorted = True
 
     # constant-velocity prediction (laser_odometry.cc:148-150)
     pred = se3.compose(state.odom,
@@ -139,7 +149,8 @@ def odometry_step(state: OdomState, edges: EdgeCloud, cfg: LiodomConfig,
         corr = line_correspondences(
             edges_world, edges.valid, map_xyz, map_valid,
             k=cfg.knn_k, max_sq_dist=cfg.knn_max_sq_dist,
-            eig_ratio=cfg.eig_ratio, min_line_sep=cfg.min_line_sep)
+            eig_ratio=cfg.eig_ratio, min_line_sep=cfg.min_line_sep,
+            map_presorted=map_presorted)
         pose = lm_solve(pose, edges.xyz, corr.lpa, corr.lpb, corr.valid,
                         min_range=cfg.min_range, max_range=cfg.max_range,
                         huber_delta=cfg.huber_delta, iters=cfg.inner_iters)

@@ -140,12 +140,13 @@ def _pair_flags(qlo, qhi, qne, rlo, rhi, rne, max_radius):
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_e", "tile_m",
                                              "interpret", "max_radius",
-                                             "sort_cell"))
+                                             "sort_cell", "ref_presorted"))
 def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
                rmask: jax.Array, k: int = 5, tile_e: int = 256,
                tile_m: int = 512, interpret: bool = False,
                max_radius: float | None = None,
-               sort_cell: float = 2.0
+               sort_cell: float = 2.0,
+               ref_presorted: bool = False
                ) -> Tuple[jax.Array, jax.Array]:
     """Exact kNN with the same contract as :func:`liodom_tpu.ops.neighbors.knn`:
 
@@ -160,15 +161,24 @@ def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
     correspondence gate drops any edge whose k-th neighbour exceeds the
     radius (laser_odometry.cc:324), so values past the gate are
     interchangeable.
+
+    ``ref_presorted``: the caller promises the reference side is already
+    spatially ordered (e.g. by :func:`spatial_sort_points` applied once for
+    several kNN calls over the same map), so the M-sized ref permutation —
+    the most expensive part of this wrapper — is skipped and returned
+    indices address ``ref`` as given.  Exactness never depends on the
+    ordering (tile AABBs come from actual coordinates); a badly-ordered ref
+    only loses pruning efficiency.
     """
     e, m = query.shape[0], ref.shape[0]
     dtype = jnp.float32
 
     if max_radius is not None:
         qperm = _spatial_order(query, qmask, cell=sort_cell)
-        rperm = _spatial_order(ref, rmask, cell=sort_cell)
         query, qmask = query[qperm], qmask[qperm]
-        ref, rmask = ref[rperm], rmask[rperm]
+        if not ref_presorted:
+            rperm = _spatial_order(ref, rmask, cell=sort_cell)
+            ref, rmask = ref[rperm], rmask[rperm]
 
     # invalid refs -> pushed FAR out; distances stay finite but un-pickable
     ref_enc = jnp.where(rmask[:, None], ref.astype(dtype),
@@ -232,8 +242,23 @@ def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
     best_d = jnp.maximum(best_d, 0.0)
     if max_radius is not None:
         # translate sorted-space results back to the caller's ordering
-        best_i = rperm[best_i]
+        if not ref_presorted:
+            best_i = rperm[best_i]
         inv_q = jnp.argsort(qperm)
         best_d = best_d[inv_q]
         best_i = best_i[inv_q]
     return best_d, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("cell",))
+def spatial_sort_points(xyz: jax.Array, mask: jax.Array, cell: float = 2.0
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Spatially order a padded point set (valid rows front-compacted,
+    grouped by coarse spatial cell) so repeated ``knn_pallas`` calls over it
+    can pass ``ref_presorted=True`` — the M-sized sort is paid once instead
+    of per call.  Point SET is unchanged; ordering of the matching map
+    carries no semantics (the reference iterates PCL containers in storage
+    order)."""
+    perm = _spatial_order(xyz, mask, cell=cell)
+    ok = mask[perm]
+    return jnp.where(ok[:, None], xyz[perm], 0.0), ok

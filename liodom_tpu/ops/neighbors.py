@@ -26,17 +26,19 @@ _BIG = 1e30
 
 
 def knn_auto(query, qmask, ref, rmask, k: int = 5, chunk: int = 4096,
-             max_radius: float | None = None):
+             max_radius: float | None = None, ref_presorted: bool = False):
     """Backend-dispatched exact kNN: the Pallas VMEM-resident kernel on TPU
     (ops/knn_pallas.py), the XLA chunked-top-k path elsewhere.  Identical
     contract and results.
 
     ``max_radius`` (TPU only): spatial-sort + AABB tile pruning — exact
-    within the radius, far candidates may report _BIG (see knn_pallas)."""
+    within the radius, far candidates may report _BIG (see knn_pallas).
+    ``ref_presorted``: the ref side is already spatially ordered, skip its
+    per-call permutation (see knn_pallas)."""
     if jax.default_backend() == "tpu":
         from liodom_tpu.ops.knn_pallas import knn_pallas
         return knn_pallas(query, qmask, ref, rmask, k=k,
-                          max_radius=max_radius)
+                          max_radius=max_radius, ref_presorted=ref_presorted)
     return knn(query, qmask, ref, rmask, k=k, chunk=chunk)
 
 
@@ -139,13 +141,14 @@ class LineCorrespondences(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("k", "max_sq_dist", "eig_ratio", "chunk",
-                                   "min_line_sep"))
+                                   "min_line_sep", "map_presorted"))
 def line_correspondences(edges_world: jax.Array, emask: jax.Array,
                          map_pts: jax.Array, mmask: jax.Array,
                          k: int = 5, max_sq_dist: float = 1.0,
                          eig_ratio: float = 3.0,
                          min_line_sep: float = 0.01,
-                         chunk: int = 4096) -> LineCorrespondences:
+                         chunk: int = 4096,
+                         map_presorted: bool = False) -> LineCorrespondences:
     """Full correspondence stage (laser_odometry.cc:318-362):
 
     per transformed edge: 5-NN in the matching map; accept when the 5th NN is
@@ -157,7 +160,8 @@ def line_correspondences(edges_world: jax.Array, emask: jax.Array,
     # Radius pruning is gate-exact: edges whose k-th NN exceeds
     # sqrt(max_sq_dist) are rejected either way (laser_odometry.cc:324).
     d2, idx = knn_auto(edges_world, emask, map_pts, mmask, k=k, chunk=chunk,
-                       max_radius=float(max_sq_dist) ** 0.5)
+                       max_radius=float(max_sq_dist) ** 0.5,
+                       ref_presorted=map_presorted)
     near = map_pts[idx]                        # (E, k, 3)
     center = jnp.mean(near, axis=1, keepdims=True)
     zm = near - center
