@@ -104,16 +104,30 @@ def main():
             stats.add_pose(m44)
         print(f"resumed from checkpoint step {step} (frame {start_frame})")
 
+    ring_dropped = 0          # points lost to the ring_width clamp (loader)
     scan_iter = seq.iter_images(cfg.scan_lines, cfg.ring_width,
                                 cfg.min_range, cfg.max_range)
-    for i, (img, counts) in enumerate(scan_iter):
+    for i, (img, counts, n_drop) in enumerate(scan_iter):
         if i < start_frame:
             continue
         if i >= n:
             break
+        if n_drop and not ring_dropped:
+            print(f"WARNING: frame {i}: {n_drop} points dropped by the "
+                  f"ring_width={cfg.ring_width} clamp — raise --ring-width "
+                  "(the reference never drops; counting continues)")
+        ring_dropped += n_drop
         freq.tick_input(t=i * sensor_dt)
         t0 = time.perf_counter()
+        # End-to-end frame latency pairing (stats.cc:55-71): start at ingest,
+        # stop when the pose is fetched back to the host.
+        stats.start_frame(t0)
         jx, jc = jnp.asarray(img), jnp.asarray(counts)
+        # Feature prep as seen by the consumer: loader dequeue + host->device
+        # transfer.  The split itself runs in native prefetch threads and the
+        # smoothness/selection on-device inside the fused step (see
+        # runtime/stats.py notes on the five-file contract).
+        stats.add_feature_extraction_time((time.perf_counter() - t0) * 1e3)
         if args.mapping:
             state, mstate, pose, n_edges = combined_image_step(
                 state, mstate, jx, jc, cfg, mcfg)
@@ -130,6 +144,7 @@ def main():
                 stats.add_num_feats(int(ne_))
                 poses.append(mat)
                 pub.publish(mat, stamp=len(poses) * sensor_dt)
+                stats.stop_frame(time.perf_counter())
             pending.clear()
             dt = time.perf_counter() - t0
             if i == start_frame:
@@ -149,6 +164,23 @@ def main():
     print(f"compile: {t_compile:.1f} s; "
           f"{n - 1} frames in {wall:.1f} s = {(n - 1) / max(wall, 1e-9):.1f} "
           f"scans/s (sensor rate {1.0 / sensor_dt:.0f} Hz)")
+
+    # No silent caps: every lossy truncation in the run gets reported.
+    if ring_dropped:
+        print(f"WARNING: {ring_dropped} points total dropped by the "
+              f"ring_width={cfg.ring_width} clamp (raise --ring-width)")
+    if args.mapping:
+        from liodom_tpu.mapping.grid import get_local_map
+        map_ovf = int(mstate.overflow)
+        if map_ovf:
+            print(f"WARNING: {map_ovf} map points dropped at "
+                  f"map_capacity={mcfg.map_capacity} (raise it)")
+        _, _, n_hits = get_local_map(mstate, pose.t, mcfg,
+                                     capacity=mcfg.local_map_capacity)
+        loc_ovf = max(int(n_hits) - mcfg.local_map_capacity, 0)
+        if loc_ovf:
+            print(f"WARNING: local map truncated by {loc_ovf} points at the "
+                  f"final pose (raise MapConfig.local_map_capacity)")
 
     est = np.stack(poses)[:, :3, :4]
     if args.results_dir:

@@ -62,10 +62,12 @@ def main():
 
     svc = MappingService(mcfg)
     t0 = time.perf_counter()
-    for i, (img, counts) in enumerate(seq.iter_images(
+    ring_dropped = 0
+    for i, (img, counts, n_drop) in enumerate(seq.iter_images(
             cfg.scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)):
         if i >= n:
             break
+        ring_dropped += n_drop
         # the mapper consumes EDGES (remapped /liodom/edges,
         # liodom_mapping_node.cc:139) — extract them like the odometer did
         rimg = RingImage(jnp.asarray(img), jnp.asarray(counts))
@@ -78,6 +80,12 @@ def main():
     wall = time.perf_counter() - t0
     print(f"{n} updates in {wall:.1f} s = {n / max(wall, 1e-9):.1f} scans/s")
     print(f"map entropy: {svc.entropy():.3f}")
+    if ring_dropped:
+        print(f"WARNING: {ring_dropped} points dropped by the "
+              f"ring_width={cfg.ring_width} clamp (raise --ring-width)")
+    if int(svc.state.overflow):
+        print(f"WARNING: {int(svc.state.overflow)} map points dropped at "
+              f"map_capacity={mcfg.map_capacity}")
 
     xyz, valid = svc.full_map()
     print(f"map points: {int(valid.sum())}")

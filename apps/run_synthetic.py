@@ -5,6 +5,19 @@ The TPU-native equivalent of replaying a rosbag through liodom_node
 (launch/liodom.launch): feeds simulated HDL-64 scans through the full
 compiled pipeline, prints per-frame poses, and scores ATE against ground
 truth.  Use this to eyeball that the engine actually works on real hardware.
+
+Profiles:
+* ``planar`` — the original gentle yaw-only course.
+* ``6dof``   — rotation-rich: sinusoidal roll/pitch, z undulation, sharper
+  turns; the scenario that scores roll/pitch drift and the IMU override.
+
+``--imu`` feeds a simulated IMU (ground-truth base orientation + noise)
+through SharedData::setLastIMUOri parity (pipeline.set_imu) with
+``use_imu`` on — the reference's roll/pitch override path
+(laser_odometry.cc:152-183).  ``--t-base-laser "x,y,z,yaw,pitch,roll"``
+plumbs a static base->laser transform like the launch-file
+static_transform_publisher (launch/liodom.launch:64-68) through the solver
+(IMU re-expression) and the publisher (pose re-expression).
 """
 
 import argparse
@@ -22,32 +35,82 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--profile", choices=["planar", "6dof"], default="planar")
     ap.add_argument("--speed", type=float, default=1.2, help="m/frame")
-    ap.add_argument("--yaw-rate", type=float, default=0.01, help="rad/frame")
+    ap.add_argument("--yaw-rate", type=float, default=None,
+                    help="rad/frame (default 0.01 planar, 0.03 6dof)")
     ap.add_argument("--noise", type=float, default=0.0, help="sensor sigma, m")
     ap.add_argument("--width", type=int, default=1800, help="azimuth samples")
+    ap.add_argument("--ring-width", type=int, default=4096,
+                    help="padded points per ring; the elevation formulas can "
+                    "merge two laser rows into one ring, so this should be "
+                    "~2x the azimuth width to avoid (counted) truncation")
     ap.add_argument("--local-map-size", type=int, default=5)
     ap.add_argument("--mapping", action="store_true",
                     help="fused odometry + hash-grid mapping with the "
                     "adaptive local-map feedback loop")
+    ap.add_argument("--filter-local-map", action="store_true",
+                    help="0.4 m voxel filter of the window "
+                    "(laser_odometry.cc:286-295)")
+    ap.add_argument("--imu", action="store_true",
+                    help="simulated IMU roll/pitch override (use_imu)")
+    ap.add_argument("--imu-noise", type=float, default=0.005,
+                    help="IMU orientation noise, rad per axis")
+    ap.add_argument("--t-base-laser", default=None,
+                    help='static base->laser TF "x,y,z,yaw,pitch,roll" '
+                    "(launch/liodom.launch:64-68 convention)")
     ap.add_argument("--save-results-dir", default=None,
                     help="dump KITTI poses.txt + timing files here")
     args = ap.parse_args()
 
     from liodom_tpu import LiodomConfig
+    from liodom_tpu.core import pose as se3
     from liodom_tpu.core.frame import RawScan
-    from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
+    from liodom_tpu.core.pose import Pose
+    from liodom_tpu.core.synth import (BoxWorld, drive_trajectory,
+                                       drive_trajectory_6dof,
+                                       quat_from_matrix_np, rpy_matrix,
+                                       yaw_matrix)
     from liodom_tpu.odometry import pipeline as P
+    from liodom_tpu.runtime.publisher import OdomPublisher
 
     print(f"devices: {jax.devices()}")
     cfg = LiodomConfig(local_map_size=args.local_map_size,
+                       ring_width=args.ring_width,
                        mapping=args.mapping,
+                       filter_local_map=args.filter_local_map,
+                       use_imu=args.imu,
                        save_results=args.save_results_dir is not None)
 
     world = BoxWorld(seed=0)
-    pos, yaws = drive_trajectory(args.frames, speed=args.speed,
-                                 yaw_rate=args.yaw_rate)
+    if args.profile == "6dof":
+        yaw_rate = 0.03 if args.yaw_rate is None else args.yaw_rate
+        pos, rots, quats = drive_trajectory_6dof(
+            args.frames, speed=args.speed, yaw_rate=yaw_rate)
+    else:
+        yaw_rate = 0.01 if args.yaw_rate is None else args.yaw_rate
+        pos, yaws = drive_trajectory(args.frames, speed=args.speed,
+                                     yaw_rate=yaw_rate)
+        rots = np.stack([yaw_matrix(y) for y in yaws])
+        quats = np.stack([quat_from_matrix_np(r) for r in rots])
+
+    # static base<->laser TF (identity when unset, like the launch files)
+    t_base_laser = None   # base -> laser (publisher side)
+    t_laser_base = None   # laser -> base (solver/IMU side)
+    if args.t_base_laser:
+        x, y, z, yw, pt, rl = (float(v) for v in args.t_base_laser.split(","))
+        r_bl = rpy_matrix(rl, pt, yw)
+        q_bl = quat_from_matrix_np(r_bl)
+        t_base_laser = Pose(jnp.asarray(q_bl, jnp.float32),
+                            jnp.asarray([x, y, z], jnp.float32))
+        t_laser_base = se3.inverse(t_base_laser)
+
     state = P.init_state(cfg)
+    pub = OdomPublisher(
+        fixed_frame=cfg.fixed_frame, base_frame=cfg.base_frame,
+        publish_tf=cfg.publish_tf,
+        t_base_laser=(None if t_base_laser is None
+                      else np.asarray(t_base_laser.matrix())))
 
     stats = None
     if args.save_results_dir:
@@ -59,9 +122,25 @@ def main():
     # the tunneled dev TPU a per-frame fetch costs ~100 ms of pure RPC
     # latency, so blocking every frame measures the tunnel, not the engine.
     scans = [RawScan.from_points(
-        jnp.array(world.render(pos[i], yaw_matrix(yaws[i]), width=args.width,
+        jnp.array(world.render(pos[i], rots[i], width=args.width,
                                noise=args.noise, seed=100 + i)),
         cfg.max_points) for i in range(args.frames)]
+
+    # simulated IMU stream: ground-truth BASE orientation + noise
+    imu_quats = None
+    if args.imu:
+        rng = np.random.default_rng(42)
+        tlb = t_laser_base if t_laser_base is not None else Pose.identity()
+        imu_quats = []
+        for i in range(args.frames):
+            gt_laser = Pose(jnp.asarray(quats[i], jnp.float32),
+                            jnp.asarray(pos[i], jnp.float32))
+            q_base = np.asarray(se3.compose(gt_laser, tlb).q, np.float64)
+            dq = quat_from_matrix_np(rpy_matrix(
+                *(rng.normal(scale=args.imu_noise, size=3))))
+            q_noisy = np.asarray(se3.quat_mul(jnp.asarray(dq), jnp.asarray(
+                q_base)))
+            imu_quats.append(np.asarray(q_noisy, np.float32))
 
     if args.mapping:
         from liodom_tpu import MapConfig
@@ -69,38 +148,78 @@ def main():
         mcfg = MapConfig()
         state, mstate = init_combined(cfg, mcfg)
 
-        def step(st, raw):
+        def step(st, raw, i):
             nonlocal mstate
             st, mstate, pose, ne = combined_step(
-                st, mstate, raw.xyz, raw.valid, cfg, mcfg)
+                st, mstate, raw.xyz, raw.valid, cfg, mcfg,
+                t_laser_base=t_laser_base)
             return st, pose, ne
     else:
-        def step(st, raw):
-            return P.full_step(st, raw.xyz, raw.valid, cfg)
+        def step(st, raw, i):
+            return P.full_step(st, raw.xyz, raw.valid, cfg,
+                               t_laser_base=t_laser_base)
+
+    def feed(st, i):
+        if imu_quats is not None:
+            st = P.set_imu(st, jnp.asarray(imu_quats[i]))
+        return step(st, scans[i], i)
 
     t0 = time.perf_counter()
-    state, pose, n_edges = step(state, scans[0])
+    state, pose, n_edges = feed(state, 0)
     np.asarray(pose.t)
     t_compile = time.perf_counter() - t0
 
     poses, n_edges_all = [pose], [n_edges]
     t0 = time.perf_counter()
     for i in range(1, args.frames):
-        state, pose, n_edges = step(state, scans[i])
+        state, pose, n_edges = feed(state, i)
         poses.append(pose)
         n_edges_all.append(n_edges)
     np.asarray(pose.t)  # host fetch = the only reliable barrier here
     wall = time.perf_counter() - t0
     mean_ms = wall / max(args.frames - 1, 1) * 1e3
 
-    errs = []
+    feat_ms = None
+    if stats is not None:
+        # Real per-frame device time of the feature-extraction stage
+        # (split + smoothness + selection), measured after the fact: in the
+        # fused step it has no separable host timestamp, so re-dispatch the
+        # extraction alone over the same scans (stats.py five-file notes).
+        from liodom_tpu.ops.features import extract_features
+        ec = extract_features(scans[0], cfg)
+        np.asarray(ec.valid[0])
+        tf0 = time.perf_counter()
+        for s in scans:
+            ec = extract_features(s, cfg)
+        np.asarray(ec.valid[0])
+        feat_ms = (time.perf_counter() - tf0) * 1e3 / len(scans)
+
+    # No silent caps: report points lost to the ring_width clamp on-device.
+    from liodom_tpu.ops.features import split_overflow
+    ring_dropped = sum(int(split_overflow(s, cfg)) for s in scans)
+    if ring_dropped:
+        print(f"WARNING: {ring_dropped} points dropped by the "
+              f"ring_width={cfg.ring_width} clamp across the run")
+    if args.mapping and int(mstate.overflow):
+        print(f"WARNING: {int(mstate.overflow)} map points dropped at "
+              f"map_capacity={mcfg.map_capacity}")
+
+    errs, rp_errs = [], []
     for i, (p, ne) in enumerate(zip(poses, n_edges_all)):
         t = np.asarray(p.t)
         err = np.linalg.norm(t - pos[i])
         errs.append(err)
+        # roll/pitch error vs ground truth (the axes the IMU pins)
+        est_rpy = np.asarray(se3.rpy_from_quat(p.q))
+        gt_rpy = np.asarray(se3.rpy_from_quat(jnp.asarray(quats[i])))
+        rp = np.linalg.norm((est_rpy - gt_rpy)[:2])
+        rp_errs.append(rp)
+        mat = np.asarray(p.matrix())
+        pub.publish(mat, stamp=i * 0.1)
         if stats is not None:
-            stats.add_pose(np.asarray(p.matrix()))
+            stats.add_pose(mat)
             stats.add_laser_odometry_time(mean_ms)
+            stats.add_feature_extraction_time(feat_ms)
             stats.add_num_feats(int(ne))
             stats.add_frame_time(mean_ms)
         print(f"frame {i:3d}: edges={int(ne):5d}  "
@@ -109,7 +228,11 @@ def main():
               f"err={err:6.3f} m")
 
     ate = float(np.sqrt(np.mean(np.square(errs))))
-    print(f"\nATE (rmse): {ate:.4f} m over {args.frames} frames")
+    rp_rmse = float(np.sqrt(np.mean(np.square(rp_errs))))
+    print(f"\nATE (rmse): {ate:.4f} m over {args.frames} frames "
+          f"[profile={args.profile}, mapping={args.mapping}, "
+          f"imu={args.imu}, filter={args.filter_local_map}]")
+    print(f"roll/pitch RMSE: {np.degrees(rp_rmse):.4f} deg")
     print(f"compile (first frame): {t_compile:.1f} s")
     print(f"steady-state: {mean_ms:.2f} ms/frame = {1e3/mean_ms:.1f} scans/s "
           f"(sensor rate 10 Hz)")

@@ -49,7 +49,7 @@ def main():
     for i in range(n_warm + n_bench):
         scan = world.render(pos[i], yaw_matrix(yaws[i]), width=1800,
                             noise=0.01, seed=i)
-        img, counts = native.split_velodyne(
+        img, counts, _ = native.split_velodyne(
             scan.astype(np.float32), cfg.scan_lines, cfg.ring_width,
             cfg.min_range, cfg.max_range)
         scans.append((jnp.asarray(img), jnp.asarray(counts)))

@@ -114,10 +114,13 @@ class KittiSequence:
 
     def iter_images(self, scan_lines: int, ring_width: int, min_range: float,
                     max_range: float, prefetch: int = 4, n_threads: int = 2
-                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield ring images ((rings, width, 3) f32, (rings,) i32 counts),
-        ring-split in native loader threads (loader.cc split_velodyne) so the
-        device program starts at the smoothness kernel."""
+                    ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        """Yield (ring image (rings, width, 3) f32, (rings,) i32 counts,
+        n_dropped), ring-split in native loader threads (loader.cc
+        split_velodyne) so the device program starts at the smoothness
+        kernel.  ``n_dropped`` counts points lost to the ring_width clamp —
+        the caller must surface any non-zero total (the reference never
+        drops; its ring vectors are unbounded)."""
         from liodom_tpu.runtime import native
         pf = native.SplitPrefetcher(self.files, scan_lines, ring_width,
                                     min_range, max_range, depth=prefetch,

@@ -100,3 +100,65 @@ def drive_trajectory(n_frames: int, speed: float = 1.0,
 def yaw_matrix(yaw: float) -> np.ndarray:
     c, s = np.cos(yaw), np.sin(yaw)
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def rpy_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """R = Rz(yaw) @ Ry(pitch) @ Rx(roll) — the tf/URDF fixed-axis RPY
+    convention the reference uses (laser_odometry.cc:422-425)."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def quat_from_matrix_np(R: np.ndarray) -> np.ndarray:
+    """wxyz quaternion from a rotation matrix (numpy, ground-truth side)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+        q = np.zeros(4)
+        q[1 + i] = 0.25 * s
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+        w, x, y, z = q
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
+def drive_trajectory_6dof(n_frames: int, speed: float = 1.0,
+                          yaw_rate: float = 0.03, accel_frames: int = 4,
+                          roll_amp: float = 0.05, pitch_amp: float = 0.04,
+                          z_amp: float = 0.3, period: float = 40.0,
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rotation-rich 6-DoF course: the yaw drive of :func:`drive_trajectory`
+    plus sinusoidal roll/pitch excitation and z undulation — the scenario the
+    planar course cannot score (roll/pitch drift, z motion, IMU override).
+
+    Returns (positions (F, 3), rotations (F, 3, 3), quats wxyz (F, 4))."""
+    yaws = np.cumsum(np.full(n_frames, yaw_rate)) - yaw_rate
+    i = np.arange(n_frames)
+    rolls = roll_amp * np.sin(2 * np.pi * i / period)
+    pitches = pitch_amp * np.sin(2 * np.pi * i / (0.7 * period) + 1.0)
+    zs = z_amp * np.sin(2 * np.pi * i / (1.3 * period))
+    pos = np.zeros((n_frames, 3))
+    for f in range(1, n_frames):
+        v = speed * min(1.0, f / max(accel_frames, 1))
+        pos[f] = pos[f - 1] + v * np.array(
+            [np.cos(yaws[f - 1]), np.sin(yaws[f - 1]), 0.0])
+    pos[:, 2] = zs
+    rots = np.stack([rpy_matrix(rolls[f], pitches[f], yaws[f])
+                     for f in range(n_frames)])
+    quats = np.stack([quat_from_matrix_np(rots[f]) for f in range(n_frames)])
+    return pos, rots, quats

@@ -423,10 +423,16 @@ def local_map_offsets(cfg: MapConfig, cells_xy: int | None = None,
 def get_local_map(state: MapState, position: jax.Array, cfg: MapConfig,
                   cells_xy: int | None = None, cells_z: int | None = None,
                   capacity: int | None = None
-                  ) -> Tuple[jax.Array, jax.Array]:
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Neighbourhood extraction (``Map::getLocalMap``, map.cc:141-189):
     all map points whose cell key lies in the XY block / Z column around
     ``position``, compacted to ``capacity`` rows (+ mask).
+
+    Returns ``(xyz (cap, 3), valid (cap,), n_hits ())`` — ``n_hits`` is the
+    neighbourhood size BEFORE capacity truncation, so callers can detect
+    (and must report) a lossy extraction: the reference returns everything
+    (map.cc:141-189), here hits beyond ``capacity`` are dropped (a
+    deterministic, layout-dependent subset).
 
     The reference truncates the pose translation to ``int`` *before*
     quantising (map.cc:146-154) — replicated.  Works on either map layout
@@ -447,7 +453,7 @@ def get_local_map(state: MapState, position: jax.Array, cfg: MapConfig,
         state.xyz, mode="drop")
     n_hits = pos[-1] + 1
     out_valid = jnp.arange(cap, dtype=jnp.int32) < n_hits
-    return out_xyz, out_valid
+    return out_xyz, out_valid, n_hits
 
 
 def map_entropy(state: MapState, bucket_count: int | None = None) -> float:

@@ -22,6 +22,7 @@ Here that loop has two deployments:
 
 from __future__ import annotations
 
+import logging
 import time
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -58,7 +59,7 @@ def _refresh_local_map(odom_state: OdomState, map_state: MapState,
     (laser_odometry.cc:276-279) — a stale-by-a-few-frames local map is the
     reference's normal operating mode."""
     def fresh(_):
-        loc_xyz, loc_valid = get_local_map(
+        loc_xyz, loc_valid, _n_hits = get_local_map(
             map_state, pose.t, mcfg, capacity=mcfg.local_map_capacity)
         return odom_state._replace(received_xyz=loc_xyz,
                                    received_valid=loc_valid)
@@ -73,7 +74,8 @@ def _refresh_local_map(odom_state: OdomState, map_state: MapState,
 def combined_step(odom_state: OdomState, map_state: MapState,
                   raw_xyz: jax.Array, raw_valid: jax.Array,
                   cfg: LiodomConfig, mcfg: MapConfig,
-                  step=None, local_map_every: int = 1
+                  step=None, local_map_every: int = 1,
+                  t_laser_base: Optional[Pose] = None
                   ) -> Tuple[OdomState, MapState, Pose, jax.Array]:
     """One frame of odometry + mapping, fully fused.
 
@@ -88,7 +90,7 @@ def combined_step(odom_state: OdomState, map_state: MapState,
     from liodom_tpu.ops.features import extract_features
 
     edges = extract_features(RawScan(raw_xyz, raw_valid), cfg)
-    new_odom, pose = _odom_only(odom_state, edges, cfg)
+    new_odom, pose = _odom_only(odom_state, edges, cfg, t_laser_base)
     map_state = update_map(map_state, edges.xyz, edges.valid, pose, mcfg)
     new_odom = _refresh_local_map(new_odom, map_state, pose, mcfg,
                                   step, local_map_every)
@@ -99,7 +101,8 @@ def combined_step(odom_state: OdomState, map_state: MapState,
 def combined_image_step(odom_state: OdomState, map_state: MapState,
                         img_xyz: jax.Array, img_count: jax.Array,
                         cfg: LiodomConfig, mcfg: MapConfig,
-                        step=None, local_map_every: int = 1
+                        step=None, local_map_every: int = 1,
+                        t_laser_base: Optional[Pose] = None
                         ) -> Tuple[OdomState, MapState, Pose, jax.Array]:
     """:func:`combined_step` starting from a loader-split ring image
     (see odometry.pipeline.image_step)."""
@@ -108,16 +111,17 @@ def combined_image_step(odom_state: OdomState, map_state: MapState,
 
     img = RingImage(img_xyz, img_count)
     edges = select_edges(img, smoothness(img, cfg), cfg)
-    new_odom, pose = _odom_only(odom_state, edges, cfg)
+    new_odom, pose = _odom_only(odom_state, edges, cfg, t_laser_base)
     map_state = update_map(map_state, edges.xyz, edges.valid, pose, mcfg)
     new_odom = _refresh_local_map(new_odom, map_state, pose, mcfg,
                                   step, local_map_every)
     return new_odom, map_state, pose, edges.num_valid()
 
 
-def _odom_only(state: OdomState, edges, cfg: LiodomConfig):
+def _odom_only(state: OdomState, edges, cfg: LiodomConfig,
+               t_laser_base: Optional[Pose] = None):
     from liodom_tpu.odometry.pipeline import odometry_step
-    return odometry_step(state, edges, cfg)
+    return odometry_step(state, edges, cfg, t_laser_base)
 
 
 class MappingService:
@@ -154,8 +158,25 @@ class MappingService:
         return out
 
     def local_map(self, position) -> Tuple[jax.Array, jax.Array]:
-        return get_local_map(self.state, jnp.asarray(position), self.mcfg,
-                             capacity=self.mcfg.local_map_capacity)
+        xyz, valid, n_hits = get_local_map(
+            self.state, jnp.asarray(position), self.mcfg,
+            capacity=self.mcfg.local_map_capacity)
+        hits = int(n_hits)
+        if hits > self.mcfg.local_map_capacity:
+            logging.getLogger("liodom.mapping").warning(
+                "local map truncated: %d hits > capacity %d "
+                "(raise MapConfig.local_map_capacity)",
+                hits, self.mcfg.local_map_capacity)
+        return xyz, valid
+
+    def local_map_overflow(self, position) -> int:
+        """Hits beyond ``local_map_capacity`` at ``position`` (0 = lossless).
+        The fused combined path clips silently on-device; apps poll this
+        periodically to honour the no-silent-caps contract."""
+        _, _, n_hits = get_local_map(
+            self.state, jnp.asarray(position), self.mcfg,
+            capacity=self.mcfg.local_map_capacity)
+        return max(int(n_hits) - self.mcfg.local_map_capacity, 0)
 
     def entropy(self) -> float:
         """Shannon entropy of hash-bucket occupancy (``Map::getMapEntropy``,

@@ -110,6 +110,22 @@ def split_scan(raw: RawScan, cfg: LiodomConfig) -> RingImage:
     return _pack_rings(raw.xyz, rid, ok & in_fov, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def split_overflow(raw: RawScan, cfg: LiodomConfig) -> jax.Array:
+    """Routed points DROPPED by the ``ring_width`` clamp for this scan
+    (scalar int32).  The elevation formulas can route two laser rows into
+    one ring id, so a ring can legitimately exceed the per-laser width; the
+    reference's ring vectors are unbounded (feature_extractor.cc:153-156),
+    so any non-zero value here is a lossy deviation the app must report
+    (host loader drops are counted by runtime.native.split_velodyne)."""
+    ok = raw.valid & valid_points(raw.xyz, cfg)
+    rid, in_fov = ring_id_velodyne(raw.xyz, cfg)
+    ok = ok & in_fov
+    r, w = cfg.scan_lines, cfg.ring_width
+    raw_counts = jnp.bincount(jnp.where(ok, rid, r), length=r + 1)[:r]
+    return jnp.sum(jnp.maximum(raw_counts.astype(jnp.int32) - w, 0))
+
+
 def split_scan_ouster(organized_xyz: jax.Array, cfg: LiodomConfig) -> RingImage:
     """Ouster-mode splitPointCloud (feature_extractor.cc:158-175): the cloud is
     row-organised and the row index *is* the ring; invalid points are dropped

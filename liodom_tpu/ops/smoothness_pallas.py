@@ -44,12 +44,21 @@ def smoothness_pallas(img_xyz: jax.Array, count: jax.Array,
     """img_xyz (R, W, 3), count (R,) -> smoothness (R, W).
 
     Bit-compatible with ops.features.smoothness (same tap order, same
-    masking; roll wrap-around only touches non-interior columns)."""
+    masking; roll wrap-around only touches non-interior columns).
+
+    Tiled over RINGS (rows are independent; the stencil runs along width),
+    so VMEM use is bounded at any ring width — a monolithic (64, 4096)
+    block plus its shift temporaries overflows the ~16 MB scoped VMEM."""
     r, w = img_xyz.shape[0], img_xyz.shape[1]
+    tile_r = 8 if r % 8 == 0 else r
     planes = jnp.moveaxis(img_xyz, -1, 0)  # (3, R, W)
     cnt = jnp.broadcast_to(count[:, None], (r, w)).astype(jnp.int32)
+    row_spec = pl.BlockSpec((tile_r, w), lambda i: (i, 0))
     return pl.pallas_call(
         _smooth_kernel,
+        grid=(r // tile_r,),
+        in_specs=[row_spec, row_spec, row_spec, row_spec],
+        out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((r, w), img_xyz.dtype),
         interpret=interpret,
     )(planes[0], planes[1], planes[2], cnt)

@@ -67,8 +67,8 @@ def _shard_local_map(state: MapState, position: jax.Array, mcfg: MapConfig,
                      per_shard_capacity: int, axis: str
                      ) -> Tuple[jax.Array, jax.Array]:
     """Inside shard_map: local neighbourhood hits + all_gather assembly."""
-    xyz, ok = get_local_map(state, position, mcfg,
-                            capacity=per_shard_capacity)
+    xyz, ok, _n_hits = get_local_map(state, position, mcfg,
+                                     capacity=per_shard_capacity)
     gx = jax.lax.all_gather(xyz, axis)      # (n, cap, 3)
     gv = jax.lax.all_gather(ok, axis)       # (n, cap)
     return gx.reshape(-1, 3), gv.reshape(-1)

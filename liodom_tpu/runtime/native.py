@@ -91,13 +91,15 @@ def read_bin(path: str, cap_points: int = 300000) -> np.ndarray:
 
 def split_velodyne_np(pts: np.ndarray, scan_lines: int, ring_width: int,
                       min_range: float, max_range: float
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+                      ) -> Tuple[np.ndarray, np.ndarray, int]:
     """NumPy mirror of the native ring split (loader.cc split_velodyne; the
     reference's splitPointCloud, feature_extractor.cc:104-179).  All float32
     math, matching the C++ and the on-device f32 paths.
 
     pts: (N, >=3) float32.  Returns ((rings, width, 3) image, (rings,)
-    counts)."""
+    counts, n_dropped) — ``n_dropped`` counts routed points lost to the
+    ``ring_width`` clamp (the reference's vectors are unbounded, so any
+    non-zero value is a lossy deviation the caller must report)."""
     pts = np.asarray(pts, np.float32)
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
@@ -129,19 +131,25 @@ def split_velodyne_np(pts: np.ndarray, scan_lines: int, ring_width: int,
     counts = np.zeros((scan_lines,), np.int32)
     rid = np.where(ok, rid, scan_lines)
     order = np.flatnonzero(ok)  # ascending -> input order preserved per ring
+    dropped = 0
     for r in range(scan_lines):
         members = order[rid[order] == r]
         m = min(len(members), ring_width)
         img[r, :m] = pts[members[:m], :3]
         counts[r] = m
-    return img, counts
+        dropped += len(members) - m
+    return img, counts, dropped
 
 
 def split_velodyne(pts: np.ndarray, scan_lines: int, ring_width: int,
                    min_range: float, max_range: float
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+                   ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Ring-split one scan on the host: native C++ when available, numpy
-    fallback otherwise.  pts: (N, 3 or 4) float32."""
+    fallback otherwise.  pts: (N, 3 or 4) float32.
+
+    Returns (image, counts, n_dropped) — see :func:`split_velodyne_np` for
+    the drop accounting (the native return value is the ROUTED total, so
+    drops = routed - sum(counts) with no ABI change)."""
     lib = _load()
     pts = np.ascontiguousarray(pts, np.float32)
     if lib is None:
@@ -156,7 +164,7 @@ def split_velodyne(pts: np.ndarray, scan_lines: int, ring_width: int,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     if n < 0:
         raise ValueError(f"unsupported scan_lines: {scan_lines}")
-    return img, counts
+    return img, counts, int(n - counts.sum())
 
 
 class SplitPrefetcher:
@@ -189,8 +197,9 @@ class SplitPrefetcher:
         else:
             self._h = None
 
-    def next(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """((rings, width, 3) image, (rings,) counts) or None at end."""
+    def next(self) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+        """((rings, width, 3) image, (rings,) counts, n_dropped) or None at
+        end.  ``n_dropped`` = routed points lost to the ring_width clamp."""
         if self._h is not None:
             img = np.empty(self.shape, np.float32)
             counts = np.empty((self.shape[0],), np.int32)
@@ -199,7 +208,7 @@ class SplitPrefetcher:
                 counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
             if n < 0:
                 return None
-            return img, counts
+            return img, counts, int(n - counts.sum())
         if self._i >= len(self.paths):
             return None
         rec = np.fromfile(self.paths[self._i], dtype=np.float32)

@@ -11,6 +11,19 @@ text files (stats.cc:73-132):
 * ``frame_times.txt``     — end-to-end ms per frame
 
 so external KITTI ATE/RPE tooling works unchanged.
+
+Stage-semantics note for the fused engine: the reference times feature
+extraction and odometry as two separate threads (stats.cc:41-54).  Here
+smoothness + edge selection are fused INTO the compiled odometry step, so
+``laser_odom_times`` covers the whole device program, and
+``feat_ext_times`` records what remains host-visible for that stage —
+loader dequeue + host->device transfer in the image-input apps
+(runtime.native ring-splits in prefetch threads), or a measured re-dispatch
+of the extraction alone in the raw-scan apps.  Per-stage device times live
+in BENCH_STAGES.json (bench_stages.py).
+``frame_times`` pairs ``start_frame`` (scan ingest) with ``stop_frame``
+(pose fetched back to the host), exactly like the reference's queue pairing
+(stats.cc:55-71).
 """
 
 from __future__ import annotations

@@ -141,3 +141,231 @@ def golden_map_cell_key(p: np.ndarray, xy: float, zs: float) -> Tuple[int, int, 
     vy = int(math.floor(p[1] / xy) * xy + xy / 2.0)
     vz = int(math.floor(p[2] / zs) * zs + zs / 2.0)
     return vx, vy, vz
+
+
+# ----------------------------------------------------------- SE(3), float64
+
+def golden_quat_mul(a, b):
+    """Hamilton product, wxyz (core/pose.py quat_mul)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def golden_quat_rotate(q, v):
+    qw, qv = q[0], q[1:]
+    v = np.asarray(v, np.float64)
+    uv = np.cross(qv, v)
+    uuv = np.cross(qv, uv)
+    return v + 2.0 * (qw * uv + uuv)
+
+
+def golden_quat_conj(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def golden_so3_exp(phi):
+    theta = float(np.linalg.norm(phi))
+    if theta < 1e-6:
+        w = 1.0 - theta * theta / 8.0
+        s = 0.5 - theta * theta / 48.0
+    else:
+        w = math.cos(theta / 2.0)
+        s = math.sin(theta / 2.0) / theta
+    q = np.concatenate([[w], s * np.asarray(phi)])
+    return q / np.linalg.norm(q)
+
+
+class GoldenPose:
+    """(q wxyz, t), float64 — mirrors core/pose.Pose semantics."""
+
+    def __init__(self, q=None, t=None):
+        self.q = np.array([1.0, 0, 0, 0]) if q is None else np.asarray(q, np.float64)
+        self.t = np.zeros(3) if t is None else np.asarray(t, np.float64)
+
+    def compose(self, other: "GoldenPose") -> "GoldenPose":
+        q = golden_quat_mul(self.q, other.q)
+        return GoldenPose(q / np.linalg.norm(q),
+                          golden_quat_rotate(self.q, other.t) + self.t)
+
+    def inverse(self) -> "GoldenPose":
+        qi = golden_quat_conj(self.q)
+        return GoldenPose(qi, -golden_quat_rotate(qi, self.t))
+
+    def transform(self, pts: np.ndarray) -> np.ndarray:
+        if len(pts) == 0:
+            return np.asarray(pts, np.float64)
+        return np.stack([golden_quat_rotate(self.q, p) for p in pts]) + self.t
+
+    def retract(self, delta: np.ndarray) -> "GoldenPose":
+        dq = golden_so3_exp(delta[:3])
+        q = golden_quat_mul(dq, self.q)
+        return GoldenPose(q / np.linalg.norm(q), self.t + delta[3:])
+
+
+# ------------------------------------------------- whole-pipeline frame loop
+
+def golden_line_correspondences(edges_world, window_pts, k=5,
+                                max_sq_dist=1.0, eig_ratio=3.0,
+                                min_line_sep=0.01):
+    """Brute 5-NN + PCA line gate (laser_odometry.cc:318-362).
+    Returns (lpa, lpb, valid) over the edges."""
+    e = len(edges_world)
+    lpa = np.zeros((e, 3))
+    lpb = np.zeros((e, 3))
+    ok = np.zeros(e, bool)
+    if len(window_pts) < k:
+        return lpa, lpb, ok
+    for i, p in enumerate(edges_world):
+        d2 = np.sum((window_pts - p) ** 2, axis=1)
+        idx = np.argsort(d2, kind="stable")[:k]
+        if d2[idx[-1]] >= max_sq_dist:
+            continue
+        near = window_pts[idx]
+        center = near.mean(axis=0)
+        zm = near - center
+        cov = zm.T @ zm                       # un-normalised, like the ref
+        eigs = np.linalg.eigvalsh(cov)
+        if eigs[2] <= eig_ratio * eigs[1]:
+            continue
+        a, b = window_pts[idx[0]], window_pts[idx[1]]
+        if np.sum((a - b) ** 2) <= min_line_sep ** 2:
+            continue
+        lpa[i], lpb[i], ok[i] = a, b, True
+    return lpa, lpb, ok
+
+
+def _golden_residual_jacobian(pose: GoldenPose, cp, lpa, lpb,
+                              min_range, max_range):
+    """Residual + analytic Jacobian of the weighted point-to-line factor
+    w.r.t. the 6-dim tangent (ops/solver.py point_to_line_jacobian)."""
+    u = golden_quat_rotate(pose.q, cp)
+    lp = u + pose.t
+    nu = np.cross(lp - lpa, lp - lpb)
+    de = lpa - lpb
+    de_norm = max(np.linalg.norm(de), 1e-12)
+    f = nu / de_norm
+    cp_l = cp - pose.t
+    d = math.sqrt(max(cp_l[0] ** 2 + cp_l[1] ** 2, 1e-12))
+    inv_span = 1.0 / (max_range - min_range)
+    w = 1.01 - (d - min_range) * inv_span
+    r = w * f
+
+    def skew(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+    df_dlp = skew(lpb - lpa) / de_norm
+    dr_dtheta = w * (df_dlp @ (-skew(u)))
+    dw_dt = np.array([cp_l[0] / d * inv_span, cp_l[1] / d * inv_span, 0.0])
+    dr_dt = w * df_dlp + np.outer(f, dw_dt)
+    return r, np.concatenate([dr_dtheta, dr_dt], axis=1)
+
+
+def _golden_huber_weight(s, delta):
+    return 1.0 if s <= delta * delta else delta / math.sqrt(max(s, 1e-20))
+
+
+def _golden_huber_cost(s, delta):
+    d2 = delta * delta
+    return s if s <= d2 else 2.0 * delta * math.sqrt(max(s, 0.0)) - d2
+
+
+def _golden_robust_cost(pose, cps, lpas, lpbs, min_range, max_range, delta):
+    c = 0.0
+    for cp, lpa, lpb in zip(cps, lpas, lpbs):
+        r, _ = _golden_residual_jacobian(pose, cp, lpa, lpb,
+                                         min_range, max_range)
+        c += _golden_huber_cost(float(r @ r), delta)
+    return 0.5 * c
+
+
+def golden_lm_solve(pose: GoldenPose, cps, lpas, lpbs, *, min_range,
+                    max_range, huber_delta=0.2, iters=4, init_lambda=1e-4):
+    """Damped accept/reject LM over the tangent — the exact algorithm of
+    ops/solver.lm_solve, sequential float64."""
+    lam = init_lambda
+    cost = _golden_robust_cost(pose, cps, lpas, lpbs, min_range, max_range,
+                               huber_delta)
+    for _ in range(iters):
+        JtJ = np.zeros((6, 6))
+        Jtr = np.zeros(6)
+        for cp, lpa, lpb in zip(cps, lpas, lpbs):
+            r, J = _golden_residual_jacobian(pose, cp, lpa, lpb,
+                                             min_range, max_range)
+            wi = _golden_huber_weight(float(r @ r), huber_delta)
+            JtJ += wi * (J.T @ J)
+            Jtr += wi * (J.T @ r)
+        damped = JtJ + lam * np.diag(np.diag(JtJ)) + 1e-8 * np.eye(6)
+        delta = np.linalg.solve(damped, -Jtr)
+        cand = pose.retract(delta)
+        new_cost = _golden_robust_cost(cand, cps, lpas, lpbs, min_range,
+                                       max_range, huber_delta)
+        if new_cost < cost:
+            pose, cost, lam = cand, new_cost, lam * 0.5
+        else:
+            lam = lam * 4.0
+    return pose
+
+
+def golden_frame_loop(scans, *, scan_lines=64, min_range=3.0, max_range=75.0,
+                      scan_regions=8, edges_per_region=10,
+                      local_map_size=5, outer_iters=2, inner_iters=4,
+                      huber_delta=0.2, knn_k=5, knn_max_sq_dist=1.0,
+                      eig_ratio=3.0, min_line_sep=0.01,
+                      smooth_fn=None):
+    """The ENTIRE reference frame loop (laser_odometry.cc:100-272 +
+    feature_extractor.cc), sequential NumPy float64: split -> smoothness ->
+    greedy select -> [predict -> 2x (brute 5-NN + line gate -> 4-iter
+    Huber-LM)] -> window push.  Returns the per-frame GoldenPose list —
+    the end-to-end semantics oracle for the fused XLA ``full_step``.
+
+    ``smooth_fn(scan) -> list of per-ring smoothness arrays`` optionally
+    substitutes the smoothness values (e.g. the engine's float32 kernel
+    output, which has its own bit-level golden test) so the rest of the
+    loop can be pinned without float32-reordering tie noise in the greedy
+    pick order."""
+    window: List[np.ndarray] = []
+    odom = GoldenPose()
+    prev = GoldenPose()
+    poses = []
+    for scan in scans:
+        scan = np.asarray(scan, np.float64)
+        rings = golden_ring_split(scan, scan_lines, min_range, max_range)
+        ring_smooth = smooth_fn(scan) if smooth_fn is not None else None
+        edges_idx: List[int] = []
+        for ri, ring in enumerate(rings):
+            ring_pts = scan[ring]
+            picks = golden_select_edges(
+                ring_pts, scan_regions, edges_per_region,
+                scan_regions * edges_per_region + 10,
+                smooth=(None if ring_smooth is None
+                        else ring_smooth[ri][:len(ring)]))
+            edges_idx.extend(ring[p] for p in picks)
+        edges = scan[edges_idx] if edges_idx else np.zeros((0, 3))
+
+        pred = odom.compose(prev.inverse().compose(odom))
+        prev = odom
+        pose = pred
+        map_pts = (np.concatenate(window, axis=0) if window
+                   else np.zeros((0, 3)))
+        for _ in range(outer_iters):
+            ew = pose.transform(edges)
+            lpa, lpb, ok = golden_line_correspondences(
+                ew, map_pts, k=knn_k, max_sq_dist=knn_max_sq_dist,
+                eig_ratio=eig_ratio, min_line_sep=min_line_sep)
+            if ok.sum() > 0:
+                pose = golden_lm_solve(
+                    pose, edges[ok], lpa[ok], lpb[ok],
+                    min_range=min_range, max_range=max_range,
+                    huber_delta=huber_delta, iters=inner_iters)
+        odom = pose
+        window.append(pose.transform(edges))
+        if len(window) > local_map_size:
+            window.pop(0)
+        poses.append(pose)
+    return poses

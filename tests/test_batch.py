@@ -35,7 +35,7 @@ def test_batch_matches_individual():
     for s in range(batch):
         st = P.init_state(cfg)
         traj = []
-        for img, cnt in seqs[s]:
+        for img, cnt, _ in seqs[s]:
             st, pose, _ = P.image_step(st, jnp.asarray(img),
                                        jnp.asarray(cnt), cfg)
             traj.append(np.asarray(pose.t))

@@ -110,7 +110,8 @@ def test_iter_images_matches_host_split(tmp_path):
     seq = lio.KittiSequence(str(tmp_path), "00")
     got = list(seq.iter_images(64, 512, 3.0, 75.0))
     assert len(got) == 4
-    for rec, (img, counts) in zip(recs, got):
-        ref_img, ref_counts = native.split_velodyne(rec, 64, 512, 3.0, 75.0)
+    for rec, (img, counts, n_drop) in zip(recs, got):
+        ref_img, ref_counts, _ = native.split_velodyne(rec, 64, 512, 3.0, 75.0)
         np.testing.assert_array_equal(counts, ref_counts)
         np.testing.assert_array_equal(img, ref_img)
+        assert n_drop == 0

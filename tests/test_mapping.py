@@ -186,7 +186,7 @@ def test_local_map_matches_reference():
 
     for t in ([0.0, 0.0, 0.0], [33.3, -21.7, 4.2], [-75.0, 60.0, -12.0]):
         want = ref.get_local_map(np.asarray(t))
-        got_xyz, got_valid = get_local_map(
+        got_xyz, got_valid, _ = get_local_map(
             state, jnp.asarray(t, jnp.float32), CFG, capacity=1024)
         got = np.asarray(got_xyz)[np.asarray(got_valid)]
         assert_same_cloud(got, want)
@@ -312,3 +312,18 @@ def test_hash_matches_numpy_reference():
     got = np.asarray(state.xyz)[np.asarray(state.valid)]
     assert_same_cloud(got, ref.get_map())
     assert int(state.n_cells) == len(ref.cells)
+
+
+def test_local_map_truncation_reported():
+    """get_local_map returns the pre-truncation hit count so callers can
+    honour the no-silent-caps contract."""
+    rng = np.random.default_rng(13)
+    state = init_map(4096)
+    # 600 points in one cell neighbourhood, capacity 128 -> hits > capacity
+    pts = (rng.uniform(-15, 15, (600, 3))).astype(np.float32)
+    xyz, valid = pad_cloud(pts, 1024)
+    state = update_map(state, xyz, valid, Pose.identity(), CFG)
+    got_xyz, got_valid, n_hits = get_local_map(
+        state, jnp.zeros(3, jnp.float32), CFG, capacity=128)
+    assert int(n_hits) > 128
+    assert int(np.asarray(got_valid).sum()) == 128

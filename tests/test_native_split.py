@@ -29,7 +29,7 @@ def test_numpy_matches_device(scan_lines):
     pts = _scan()
     raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
     dev = split_scan(raw, cfg)
-    img_np, counts_np = native.split_velodyne_np(
+    img_np, counts_np, _ = native.split_velodyne_np(
         pts, scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
     dev_img = np.asarray(dev.xyz)
     dev_counts = np.asarray(dev.count)
@@ -50,9 +50,9 @@ def test_native_matches_numpy():
     # pad to stride-4 records like a KITTI .bin
     rec = np.zeros((len(pts), 4), np.float32)
     rec[:, :3] = pts
-    img_c, counts_c = native.split_velodyne(
+    img_c, counts_c, _ = native.split_velodyne(
         rec, cfg.scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
-    img_np, counts_np = native.split_velodyne_np(
+    img_np, counts_np, _ = native.split_velodyne_np(
         rec, cfg.scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
     # adjacent-ring flips from 1-ulp atan differences are expected; the
     # invariants are: identical totals, per-ring count off by <= 2, and
@@ -69,7 +69,7 @@ def test_nan_and_range_gating():
     pts = _scan(seed=2)
     pts[::5] = np.nan
     pts[1::5] = 1e6  # beyond max_range
-    img, counts = native.split_velodyne_np(
+    img, counts, _dropped = native.split_velodyne_np(
         pts, cfg.scan_lines, cfg.ring_width, cfg.min_range, cfg.max_range)
     assert np.all(np.isfinite(img))
     assert counts.sum() > 0
@@ -87,7 +87,7 @@ def test_image_step_matches_full_step():
                            noise=0.005, seed=i).astype(np.float32)
         raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
         state_a, pose_a, na = P.full_step(state_a, raw.xyz, raw.valid, cfg)
-        img, counts = native.split_velodyne_np(
+        img, counts, _ = native.split_velodyne_np(
             pts, cfg.scan_lines, cfg.ring_width, cfg.min_range,
             cfg.max_range)
         state_b, pose_b, nb = P.image_step(
@@ -97,3 +97,36 @@ def test_image_step_matches_full_step():
         np.testing.assert_allclose(np.asarray(pose_a.t), np.asarray(pose_b.t),
                                    atol=5e-3)
         assert abs(int(na) - int(nb)) <= max(5, int(0.02 * int(na)))
+
+
+def test_split_drop_accounting():
+    """Ring-width overflow must be COUNTED, never silent: numpy, native C++,
+    and the on-device split_overflow all report the same drop total."""
+    import jax.numpy as jnp
+    from liodom_tpu.core.config import LiodomConfig
+    from liodom_tpu.core.frame import RawScan
+    from liodom_tpu.ops.features import split_overflow
+
+    rng = np.random.default_rng(7)
+    # 300 points all on (almost) one elevation -> one ring; width 64 drops 236
+    n = 300
+    az = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(10.0, 20.0, n)
+    pts = np.stack([r * np.cos(az), r * np.sin(az),
+                    np.zeros(n)], -1).astype(np.float32)
+    width = 64
+
+    img_np, counts_np, drop_np = native.split_velodyne_np(
+        pts, 64, width, 3.0, 75.0)
+    assert drop_np > 0
+    assert counts_np.sum() + drop_np == n
+
+    if native.native_available():
+        img_c, counts_c, drop_c = native.split_velodyne(
+            pts, 64, width, 3.0, 75.0)
+        assert drop_c == drop_np
+        np.testing.assert_array_equal(counts_c, counts_np)
+
+    cfg = LiodomConfig(scan_lines=64, ring_width=width, max_points=512)
+    raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
+    assert int(split_overflow(raw, cfg)) == drop_np

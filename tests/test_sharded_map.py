@@ -74,7 +74,7 @@ def test_local_map_assembly_matches():
     shard = upd(shard, pts, valid, pose)
 
     position = jnp.array([5.0, -3.0, 0.0])
-    ref_xyz, ref_ok = get_local_map(mono, position, mcfg,
+    ref_xyz, ref_ok, _ = get_local_map(mono, position, mcfg,
                                     capacity=mcfg.local_map_capacity)
     got_xyz, got_ok = loc(shard, position)
     assert _point_set(got_xyz, got_ok) == _point_set(ref_xyz, ref_ok)
