@@ -210,7 +210,10 @@ def _probe_insert(tab1: jax.Array, tab2: jax.Array, k1: jax.Array,
         g1, g2 = tab1[s], tab2[s]
         match = ~done & (g1 == k1) & (g2 == k2)
         empty = ~done & (g1 == _MAXU32) & (g2 == _MAXU32)
-        # claim attempt: lexicographic-min wins the slot
+
+        # claim attempt: lexicographic-min wins the slot.  (Gating this
+        # behind a lax.cond when nothing is empty was measured SLOWER —
+        # the in-loop control flow costs more than the skipped scatters.)
         t1 = tab1.at[jnp.where(empty, slot, n)].min(k1, mode="drop")
         won1 = empty & (t1[s] == k1)
         t2 = tab2.at[jnp.where(won1, slot, n)].min(k2, mode="drop")
@@ -445,14 +448,17 @@ def get_local_map(state: MapState, position: jax.Array, cfg: MapConfig,
     # (C, K) membership: point's cell key equals any target key
     eq = jnp.all(state.key[:, None, :] == targets[None, :, :], axis=-1)
     hit = jnp.any(eq, axis=-1) & state.valid               # (C,)
-    # compact hits to the front, preserving row order: cumsum rank + scatter
-    # (O(C), vs an O(C log C) full argsort)
-    pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
-    dest = jnp.where(hit, pos, cap)                        # cap -> dropped
-    out_xyz = jnp.zeros((cap, 3), state.xyz.dtype).at[dest].set(
-        state.xyz, mode="drop")
-    n_hits = pos[-1] + 1
+    n_hits = jnp.sum(hit.astype(jnp.int32))
+    # compact hits to the front, preserving row order: sort hit rows (unique
+    # ascending row-index keys) ahead of a constant non-hit key, slice to
+    # capacity, gather.  Measured ~2x faster than a cumsum+scatter of all C
+    # rows on TPU (scatter cost scales with the update count, and the key
+    # sort is cheap).
+    key = jnp.where(hit, jnp.arange(c, dtype=jnp.uint32),
+                    jnp.uint32(1) << 31)
+    order = jnp.argsort(key)[:cap]
     out_valid = jnp.arange(cap, dtype=jnp.int32) < n_hits
+    out_xyz = jnp.where(out_valid[:, None], state.xyz[order], 0.0)
     return out_xyz, out_valid, n_hits
 
 

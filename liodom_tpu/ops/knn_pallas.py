@@ -142,8 +142,8 @@ def _pair_flags(qlo, qhi, qne, rlo, rhi, rne, max_radius):
                                              "interpret", "max_radius",
                                              "sort_cell", "ref_presorted"))
 def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
-               rmask: jax.Array, k: int = 5, tile_e: int = 256,
-               tile_m: int = 512, interpret: bool = False,
+               rmask: jax.Array, k: int = 5, tile_e: int = 64,
+               tile_m: int = 2048, interpret: bool = False,
                max_radius: float | None = None,
                sort_cell: float = 2.0,
                ref_presorted: bool = False
@@ -161,6 +161,12 @@ def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
     correspondence gate drops any edge whose k-th neighbour exceeds the
     radius (laser_odometry.cc:324), so values past the gate are
     interchangeable.
+
+    Tile defaults were swept on hardware at the production working set
+    (5.6k edges x 28k window points): small query tiles x wide ref tiles
+    win because the carried-best merge pays a fixed KPAD-wide selection
+    pass per (query, ref) tile pair — fewer, wider ref tiles amortize it
+    (64x2048: 2.4 ms vs 4.2 ms at the old 256x512 on one v5e chip).
 
     ``ref_presorted``: the caller promises the reference side is already
     spatially ordered (e.g. by :func:`spatial_sort_points` applied once for
