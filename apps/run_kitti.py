@@ -32,6 +32,11 @@ def main():
                     help="prev_frames (launch/liodom.launch:23 uses 15)")
     ap.add_argument("--mapping", action="store_true",
                     help="adaptive local mapping feedback loop")
+    ap.add_argument("--local-map-every", type=int, default=1,
+                    help="refresh the received local map every Nth frame "
+                    "(the reference mapper is an async second process; the "
+                    "odometer consumes the LAST received map, "
+                    "laser_odometry.cc:276-279)")
     ap.add_argument("--filter-local-map", action="store_true")
     ap.add_argument("--scan-lines", type=int, default=64)
     ap.add_argument("--ring-width", type=int, default=2048)
@@ -130,7 +135,8 @@ def main():
         stats.add_feature_extraction_time((time.perf_counter() - t0) * 1e3)
         if args.mapping:
             state, mstate, pose, n_edges = combined_image_step(
-                state, mstate, jx, jc, cfg, mcfg)
+                state, mstate, jx, jc, cfg, mcfg, step=i,
+                local_map_every=args.local_map_every)
         else:
             state, pose, n_edges = P.image_step(state, jx, jc, cfg)
         pending.append((pose, n_edges))

@@ -456,7 +456,10 @@ def get_local_map(state: MapState, position: jax.Array, cfg: MapConfig,
     # sort is cheap).
     key = jnp.where(hit, jnp.arange(c, dtype=jnp.uint32),
                     jnp.uint32(1) << 31)
-    order = jnp.argsort(key)[:cap]
+    order = jnp.argsort(key)
+    if cap > c:           # capacity can exceed the map row count
+        order = jnp.pad(order, (0, cap - c))   # pad rows masked out below
+    order = order[:cap]
     out_valid = jnp.arange(cap, dtype=jnp.int32) < n_hits
     out_xyz = jnp.where(out_valid[:, None], state.xyz[order], 0.0)
     return out_xyz, out_valid, n_hits

@@ -327,3 +327,17 @@ def test_local_map_truncation_reported():
         state, jnp.zeros(3, jnp.float32), CFG, capacity=128)
     assert int(n_hits) > 128
     assert int(np.asarray(got_valid).sum()) == 128
+
+
+def test_local_map_capacity_exceeds_map_rows():
+    """capacity > map row count must pad, not crash (regression: the
+    argsort-slice compaction yields at most C entries)."""
+    mcfg = MapConfig(map_capacity=512, local_map_capacity=1024)
+    st = init_map(512)
+    rng = np.random.default_rng(14)
+    pts = jnp.asarray(rng.uniform(-15, 15, (200, 3)), jnp.float32)
+    st = update_map(st, pts, jnp.ones(200, bool), Pose.identity(), mcfg)
+    xyz, valid, n = get_local_map(st, jnp.zeros(3, jnp.float32), mcfg,
+                                  capacity=1024)
+    assert xyz.shape == (1024, 3) and valid.shape == (1024,)
+    assert int(valid.sum()) == int(n) > 0

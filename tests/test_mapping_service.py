@@ -74,3 +74,44 @@ def test_mapping_service_host_path():
     # latched republish: stale after 5 s
     assert svc.maybe_republish(now=100.0) is not None
     assert svc.maybe_republish(now=101.0) is None
+
+
+def test_local_map_cadence_reuses_stale_map():
+    """local_map_every=N: non-refresh frames must keep the previously
+    received local map verbatim (the reference's odometer consumes the
+    LAST received map, laser_odometry.cc:276-279), and refresh frames must
+    match an every-frame run's extraction."""
+    cfg = LiodomConfig(local_map_size=2, mapping=True, max_points=32768,
+                       ring_width=512)
+    mcfg = MapConfig(map_capacity=8192, local_map_capacity=1024)
+    world = BoxWorld(seed=2)
+    pos, yaws = drive_trajectory(5, speed=0.8, yaw_rate=0.02)
+    scans = [RawScan.from_points(
+        jnp.asarray(world.render(pos[i], yaw_matrix(yaws[i]), width=300,
+                                 noise=0.005, seed=i)), cfg.max_points)
+        for i in range(5)]
+
+    o1, m1 = init_combined(cfg, mcfg)     # every-frame refresh
+    o2, m2 = init_combined(cfg, mcfg)     # every-2nd-frame refresh
+    received = []
+    for i, raw in enumerate(scans):
+        o1, m1, p1, _ = combined_step(o1, m1, raw.xyz, raw.valid, cfg, mcfg)
+        o2, m2, p2, _ = combined_step(o2, m2, raw.xyz, raw.valid, cfg, mcfg,
+                                      step=i, local_map_every=2)
+        received.append((np.asarray(o2.received_xyz).copy(),
+                         np.asarray(o2.received_valid).copy()))
+        if i == 0:
+            # first frame refreshes in both runs from the same map state
+            np.testing.assert_allclose(np.asarray(o1.received_xyz),
+                                       received[0][0], atol=1e-5)
+        elif i % 2 == 1:
+            # stale frame: received map unchanged from the previous frame
+            np.testing.assert_array_equal(received[i][0], received[i - 1][0])
+            np.testing.assert_array_equal(received[i][1], received[i - 1][1])
+        else:
+            # refresh frame: the received map actually changed
+            assert not np.array_equal(received[i][0], received[i - 1][0])
+        # a few-frames-stale map must not derail tracking (the reference's
+        # normal operating mode): both runs stay close
+        np.testing.assert_allclose(np.asarray(p2.t), np.asarray(p1.t),
+                                   atol=0.05)
