@@ -183,18 +183,29 @@ def select_edges(img: RingImage, smooth: jax.Array,
       like the reference's ``picked_`` array.
 
     Sectors are processed sequentially (lax.scan) but all rings advance in
-    lockstep, so the device does ``regions x (budget+1)`` masked argmaxes over
-    the whole (rings, width) image — wide vector work, no host loop."""
+    lockstep.  The pick chain is the serial core of the whole frame
+    (regions x (budget+1) dependent argmaxes), so each region's columns are
+    GATHERED into a fixed (rings, window) slab once per region and the
+    argmax/suppression chain runs over the window — ~width/regions the
+    vector work of scanning the full image per pick, with bit-identical
+    results (the argmax was region-masked anyway, and suppression is merged
+    back into the ring-global mask between regions, preserving the
+    cross-sector carry of the reference's ``picked_`` array)."""
     r, w = img.xyz.shape[0], img.xyz.shape[1]
     xyz = img.xyz
     count = img.count
     n_regions = cfg.scan_regions
     max_picks = cfg.max_edges_per_region
-    cols = jnp.arange(w, dtype=jnp.int32)[None, :]  # (1, W)
 
     active = count >= cfg.min_points_per_scan            # (R,)
     total = jnp.maximum(count - 10, 0)                   # interior length
     sector_len = total // n_regions                      # (R,)
+
+    # Window width: the longest region is sector_len + remainder
+    # (< n_regions), sector_len <= (w-10)//n_regions; +5 forward-suppression
+    # spill into the next region.
+    wl = (w - 10) // n_regions + n_regions - 1 + 5
+    wcols = jnp.arange(wl, dtype=jnp.int32)[None, :]     # (1, WL)
 
     # Consecutive-point squared gaps, gap[j] = ||p[j] - p[j-1]||^2.
     diff = xyz - jnp.roll(xyz, 1, axis=1)
@@ -215,44 +226,68 @@ def select_edges(img: RingImage, smooth: jax.Array,
         # gap between b-l and b-l+1 is gap_sq[b-l+1]
         acc = acc & jnp.roll(gap_ok, l - 1, axis=1)
         bwd_ok.append(acc)
+    # pack the 10 reach planes as bits so the window gather moves ONE int32
+    # plane instead of ten bool planes
+    reach = jnp.zeros((r, w), jnp.int32)
+    for l in range(5):
+        reach = reach | (fwd_ok[l].astype(jnp.int32) << l)
+        reach = reach | (bwd_ok[l].astype(jnp.int32) << (l + 5))
 
     neg_inf = jnp.array(-jnp.inf, dtype=smooth.dtype)
+    rows = jnp.arange(r, dtype=jnp.int32)[:, None]
 
     def region_step(carry, j):
         picked, edges, evalid = carry
         start = 5 + sector_len * j                       # (R,)
         end = jnp.where(j == n_regions - 1, 5 + total, 5 + sector_len * (j + 1))
-        in_region = (cols >= start[:, None]) & (cols < end[:, None])
+        # gather this region's window (clipped at the image edge; clipped
+        # columns are masked out of candidacy and suppression write-back)
+        idx = start[:, None] + wcols                     # (R, WL)
+        in_image = idx < w
+        idx_c = jnp.minimum(idx, w - 1)
+        sm_w = jnp.take_along_axis(smooth, idx_c, axis=1)
+        pk_w = jnp.take_along_axis(picked, idx_c, axis=1)
+        reach_w = jnp.take_along_axis(reach, idx_c, axis=1)
+        xyz_w = jnp.take_along_axis(xyz, idx_c[:, :, None], axis=1)  # (R,WL,3)
+        in_region = wcols < (end - start)[:, None]       # (R, WL)
 
         def pick_step(p, inner):
-            picked, edges, evalid, done = inner
-            cand = in_region & ~picked & active[:, None] & ~done[:, None]
-            masked = jnp.where(cand, smooth, neg_inf)
+            pk_w, supp_w, edges, evalid, done = inner
+            cand = in_region & ~pk_w & active[:, None] & ~done[:, None]
+            masked = jnp.where(cand, sm_w, neg_inf)
             best_val = jnp.max(masked, axis=1)                    # (R,)
             best = jnp.argmax(masked, axis=1).astype(jnp.int32)   # (R,)
             do_pick = (best_val >= cfg.smoothness_threshold) & jnp.any(cand, axis=1)
             done = done | ~do_pick
             # record edge at static slot layout (ring, region*max_picks + p)
             slot = j * max_picks + p
-            pt = jnp.take_along_axis(xyz, best[:, None, None].repeat(3, -1),
+            pt = jnp.take_along_axis(xyz_w, best[:, None, None].repeat(3, -1),
                                      axis=1)[:, 0, :]             # (R, 3)
             edges = jax.lax.dynamic_update_index_in_dim(
                 edges, jnp.where(do_pick[:, None], pt, 0.0), slot, axis=1)
             evalid = jax.lax.dynamic_update_index_in_dim(
                 evalid, do_pick, slot, axis=1)
-            # suppression
-            newly = (cols == best[:, None]) & do_pick[:, None]
+            # suppression (window coords; reach bits looked up at the pick)
+            bits = jnp.take_along_axis(reach_w, best[:, None], axis=1)  # (R,1)
+            newly = (wcols == best[:, None]) & do_pick[:, None]
             for l in range(1, 6):
-                okf = jnp.take_along_axis(fwd_ok[l - 1], best[:, None], axis=1)
-                newly = newly | ((cols == best[:, None] + l) & okf & do_pick[:, None])
-                okb = jnp.take_along_axis(bwd_ok[l - 1], best[:, None], axis=1)
-                newly = newly | ((cols == best[:, None] - l) & okb & do_pick[:, None])
-            picked = picked | newly
-            return picked, edges, evalid, done
+                okf = (bits >> (l - 1)) & 1
+                newly = newly | ((wcols == best[:, None] + l) & (okf != 0)
+                                 & do_pick[:, None])
+                okb = (bits >> (l + 4)) & 1
+                newly = newly | ((wcols == best[:, None] - l) & (okb != 0)
+                                 & do_pick[:, None])
+            pk_w = pk_w | newly
+            supp_w = supp_w | newly
+            return pk_w, supp_w, edges, evalid, done
 
         done0 = jnp.zeros((r,), dtype=bool)
-        picked, edges, evalid, _ = jax.lax.fori_loop(
-            0, max_picks, pick_step, (picked, edges, evalid, done0))
+        supp0 = jnp.zeros((r, wl), dtype=bool)
+        pk_w, supp_w, edges, evalid, _ = jax.lax.fori_loop(
+            0, max_picks, pick_step, (pk_w, supp0, edges, evalid, done0))
+        # merge window suppression back into the ring-global mask so the next
+        # region (and its +5 spill-over) sees it
+        picked = picked.at[rows, idx_c].max(supp_w & in_image)
         return (picked, edges, evalid), None
 
     picked0 = jnp.zeros((r, w), dtype=bool)

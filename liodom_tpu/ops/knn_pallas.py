@@ -256,6 +256,161 @@ def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
     return best_d, best_i
 
 
+def _knn_coords_kernel(flags_ref, q_ref, r_ref, out_d_ref, out_x_ref,
+                       out_y_ref, out_z_ref, best_d, best_x, best_y, best_z,
+                       *, k: int, tile_m: int):
+    """Like :func:`_knn_kernel`, but carries the neighbour COORDINATES through
+    VMEM instead of indices.  The line-fit consumer (neighbors.
+    line_correspondences) only ever uses ``ref[idx]`` — never ``idx`` itself
+    (laser_odometry.cc:325-357 reads the neighbour points) — so emitting the
+    coordinates here removes the (E, k, 3) HBM gather *and* both
+    index back-permutations from the wrapper."""
+    e_idx = pl.program_id(0)
+    m_idx = pl.program_id(1)
+    n_m = pl.num_programs(1)
+    tile_e = q_ref.shape[0]
+
+    @pl.when(m_idx == 0)
+    def _():
+        best_d[:] = jnp.full((tile_e, _KPAD), _BIG, jnp.float32)
+        zero = jnp.zeros((tile_e, _KPAD), jnp.float32)
+        best_x[:] = zero
+        best_y[:] = zero
+        best_z[:] = zero
+
+    @pl.when(flags_ref[e_idx * n_m + m_idx] != 0)
+    def _():
+        rx = jnp.broadcast_to(r_ref[0:1, :], (tile_e, tile_m))
+        ry = jnp.broadcast_to(r_ref[1:2, :], (tile_e, tile_m))
+        rz = jnp.broadcast_to(r_ref[2:3, :], (tile_e, tile_m))
+        dx = q_ref[:, 0:1] - rx
+        dy = q_ref[:, 1:2] - ry
+        dz = q_ref[:, 2:3] - rz
+        d2 = dx * dx + dy * dy + dz * dz
+
+        comb_d = jnp.concatenate([best_d[:], d2], axis=1)
+        comb_x = jnp.concatenate([best_x[:], rx], axis=1)
+        comb_y = jnp.concatenate([best_y[:], ry], axis=1)
+        comb_z = jnp.concatenate([best_z[:], rz], axis=1)
+        width = _KPAD + tile_m
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, width), 1)
+
+        new_d, new_x, new_y, new_z = [], [], [], []
+        for _ in range(k):
+            am = jnp.argmin(comb_d, axis=1).astype(jnp.int32)
+            onehot = cols == am[:, None]
+            new_d.append(jnp.min(comb_d, axis=1))
+            new_x.append(jnp.sum(jnp.where(onehot, comb_x, 0.0), axis=1))
+            new_y.append(jnp.sum(jnp.where(onehot, comb_y, 0.0), axis=1))
+            new_z.append(jnp.sum(jnp.where(onehot, comb_z, 0.0), axis=1))
+            comb_d = jnp.where(onehot, _BIG, comb_d)
+
+        pad_d = jnp.full((tile_e, _KPAD - k), _BIG, jnp.float32)
+        pad_0 = jnp.zeros((tile_e, _KPAD - k), jnp.float32)
+        best_d[:] = jnp.concatenate([jnp.stack(new_d, 1), pad_d], axis=1)
+        best_x[:] = jnp.concatenate([jnp.stack(new_x, 1), pad_0], axis=1)
+        best_y[:] = jnp.concatenate([jnp.stack(new_y, 1), pad_0], axis=1)
+        best_z[:] = jnp.concatenate([jnp.stack(new_z, 1), pad_0], axis=1)
+
+    @pl.when(m_idx == n_m - 1)
+    def _():
+        out_d_ref[:] = best_d[:]
+        out_x_ref[:] = best_x[:]
+        out_y_ref[:] = best_y[:]
+        out_z_ref[:] = best_z[:]
+
+
+# Invalid refs are displaced by 2*_FAR, so any picked-invalid distance is at
+# least ~(2e4 - 240)^2 ≈ 3.9e8, while real squared ranges top out around
+# (2 * max_range)^2 ≈ 5.8e4.  Anything past this threshold is a FAR pick.
+_FAR_PICK_D2 = 1.0e6
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_e", "tile_m",
+                                             "interpret", "max_radius",
+                                             "sort_cell", "ref_presorted"))
+def knn_coords_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
+                      rmask: jax.Array, k: int = 5, tile_e: int = 64,
+                      tile_m: int = 2048, interpret: bool = False,
+                      max_radius: float | None = None,
+                      sort_cell: float = 2.0,
+                      ref_presorted: bool = False
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Exact kNN returning neighbour COORDINATES instead of indices:
+
+    query (E, 3), qmask (E,), ref (M, 3), rmask (M,) ->
+    (sq_dists (E, k) ascending, coords (E, k, 3)).
+
+    Same selection semantics and pruning contract as :func:`knn_pallas`;
+    coords rows whose distance is ``_BIG`` (invalid query / invalid or pruned
+    ref) carry no meaning and must be gated by the caller — exactly what the
+    line-fit gate already does (neighbors.line_correspondences).  Fusing the
+    coordinate extraction into the kernel epilogue removes the (E, k, 3)
+    HBM gather plus the rperm/inv_q index translations the index variant
+    needs (VERDICT r1 #9; ref: laser_odometry.cc:318-362)."""
+    e, m = query.shape[0], ref.shape[0]
+    dtype = jnp.float32
+
+    if max_radius is not None:
+        qperm = _spatial_order(query, qmask, cell=sort_cell)
+        query, qmask = query[qperm], qmask[qperm]
+        if not ref_presorted:
+            rperm = _spatial_order(ref, rmask, cell=sort_cell)
+            ref, rmask = ref[rperm], rmask[rperm]
+
+    ref_enc = jnp.where(rmask[:, None], ref.astype(dtype),
+                        ref.astype(dtype) + 2.0 * _FAR)
+    e_pad = (-e) % tile_e
+    m_pad = (-m) % tile_m
+    q4 = jnp.pad(query.astype(dtype), ((0, e_pad), (0, 1)))
+    r4 = jnp.pad(ref_enc, ((0, m_pad), (0, 1)), constant_values=_FAR).T
+    ep, mp = q4.shape[0], r4.shape[1]
+    n_e_tiles = ep // tile_e
+    n_m_tiles = mp // tile_m
+
+    qm_p = jnp.pad(qmask, (0, e_pad))
+    rm_p = jnp.pad(rmask, (0, m_pad))
+    qlo, qhi, qne = _tile_aabbs(q4[:, :3], qm_p, tile_e)
+    rlo, rhi, rne = _tile_aabbs(r4.T[:, :3], rm_p, tile_m)
+    flags = _pair_flags(qlo, qhi, qne, rlo, rhi, rne, max_radius).reshape(-1)
+
+    out_block = pl.BlockSpec((tile_e, _KPAD), lambda i, j, flags: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_e_tiles, n_m_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_e, 4), lambda i, j, flags: (i, 0)),
+            pl.BlockSpec(
+                (4, tile_m),
+                lambda i, j, flags, n_m=n_m_tiles: (
+                    0, jnp.where(flags[i * n_m + j] != 0, j, 0)),
+            ),
+        ],
+        out_specs=[out_block, out_block, out_block, out_block],
+        scratch_shapes=[pltpu.VMEM((tile_e, _KPAD), dtype)] * 4,
+    )
+    shape = jax.ShapeDtypeStruct((ep, _KPAD), dtype)
+    out_d, out_x, out_y, out_z = pl.pallas_call(
+        functools.partial(_knn_coords_kernel, k=k, tile_m=tile_m),
+        grid_spec=grid_spec,
+        out_shape=[shape, shape, shape, shape],
+        interpret=interpret,
+    )(flags, q4, r4)
+
+    best_d = out_d[:e, :k]
+    coords = jnp.stack([out_x[:e, :k], out_y[:e, :k], out_z[:e, :k]], axis=-1)
+    # FAR-displaced (invalid-ref) picks and invalid queries -> _BIG, matching
+    # the index variant's picked_invalid / qmask handling.
+    best_d = jnp.where(best_d > _FAR_PICK_D2, _BIG, best_d)
+    best_d = jnp.where(qmask[:, None], best_d, _BIG)
+    best_d = jnp.maximum(best_d, 0.0)
+    if max_radius is not None:
+        inv_q = jnp.argsort(qperm)
+        best_d = best_d[inv_q]
+        coords = coords[inv_q]
+    return best_d, coords
+
+
 @functools.partial(jax.jit, static_argnames=("cell",))
 def spatial_sort_points(xyz: jax.Array, mask: jax.Array, cell: float = 2.0
                         ) -> Tuple[jax.Array, jax.Array]:

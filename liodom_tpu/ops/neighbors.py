@@ -140,15 +140,36 @@ class LineCorrespondences(NamedTuple):
     valid: jax.Array  # (E,) bool — edge passed distance + eigenvalue gates
 
 
+def _line_fit(near: jax.Array, dk: jax.Array, emask: jax.Array,
+              max_sq_dist: float, eig_ratio: float,
+              min_line_sep: float) -> LineCorrespondences:
+    """Line acceptance + endpoint extraction from the (E, k, 3) neighbour
+    coordinates (laser_odometry.cc:325-357): centroid + un-normalised
+    covariance, Cardano eigenvalues, lambda_max > eig_ratio * lambda_mid,
+    endpoints = 2 nearest neighbours.  ``dk`` is the k-th (worst) squared
+    neighbour distance; coords of gated-out rows may be garbage — they are
+    never consumed (the solver masks by ``valid``)."""
+    center = jnp.mean(near, axis=1, keepdims=True)
+    zm = near - center
+    cov = jnp.einsum("eki,ekj->eij", zm, zm)   # un-normalised, like the ref
+    eigs = sym3_eigenvalues(cov)
+    sep_sq = jnp.sum((near[:, 0, :] - near[:, 1, :]) ** 2, axis=-1)
+    ok = (dk < max_sq_dist) & (eigs[:, 2] > eig_ratio * eigs[:, 1])
+    ok = ok & emask & (sep_sq > min_line_sep * min_line_sep)
+    return LineCorrespondences(near[:, 0, :], near[:, 1, :], ok)
+
+
 @partial(jax.jit, static_argnames=("k", "max_sq_dist", "eig_ratio", "chunk",
-                                   "min_line_sep", "map_presorted"))
+                                   "min_line_sep", "map_presorted",
+                                   "knn_impl"))
 def line_correspondences(edges_world: jax.Array, emask: jax.Array,
                          map_pts: jax.Array, mmask: jax.Array,
                          k: int = 5, max_sq_dist: float = 1.0,
                          eig_ratio: float = 3.0,
                          min_line_sep: float = 0.01,
                          chunk: int = 4096,
-                         map_presorted: bool = False) -> LineCorrespondences:
+                         map_presorted: bool = False,
+                         knn_impl: str = "auto") -> LineCorrespondences:
     """Full correspondence stage (laser_odometry.cc:318-362):
 
     per transformed edge: 5-NN in the matching map; accept when the 5th NN is
@@ -156,18 +177,26 @@ def line_correspondences(edges_world: jax.Array, emask: jax.Array,
     lambda_max > eig_ratio * lambda_mid; line endpoints = 2 nearest
     neighbours.  Additionally requires the endpoints to be at least
     ``min_line_sep`` apart (see LiodomConfig.min_line_sep — degenerate
-    duplicate-point "lines" are numerically meaningless)."""
+    duplicate-point "lines" are numerically meaningless).
+
+    ``knn_impl``: "auto" uses the Pallas coords-epilogue kernel on TPU (the
+    kernel emits neighbour coordinates straight from VMEM, skipping the
+    (E, k, 3) HBM gather) and the XLA chunked top-k elsewhere; "xla" forces
+    the XLA path; "pallas_interpret" runs the coords kernel in interpreter
+    mode (CPU parity tests)."""
     # Radius pruning is gate-exact: edges whose k-th NN exceeds
     # sqrt(max_sq_dist) are rejected either way (laser_odometry.cc:324).
-    d2, idx = knn_auto(edges_world, emask, map_pts, mmask, k=k, chunk=chunk,
-                       max_radius=float(max_sq_dist) ** 0.5,
-                       ref_presorted=map_presorted)
-    near = map_pts[idx]                        # (E, k, 3)
-    center = jnp.mean(near, axis=1, keepdims=True)
-    zm = near - center
-    cov = jnp.einsum("eki,ekj->eij", zm, zm)   # un-normalised, like the ref
-    eigs = sym3_eigenvalues(cov)
-    sep_sq = jnp.sum((near[:, 0, :] - near[:, 1, :]) ** 2, axis=-1)
-    ok = (d2[:, k - 1] < max_sq_dist) & (eigs[:, 2] > eig_ratio * eigs[:, 1])
-    ok = ok & emask & (sep_sq > min_line_sep * min_line_sep)
-    return LineCorrespondences(near[:, 0, :], near[:, 1, :], ok)
+    use_coords = (knn_impl == "pallas_interpret" or
+                  (knn_impl == "auto" and jax.default_backend() == "tpu"))
+    if use_coords:
+        from liodom_tpu.ops.knn_pallas import knn_coords_pallas
+        d2, near = knn_coords_pallas(
+            edges_world, emask, map_pts, mmask, k=k,
+            max_radius=float(max_sq_dist) ** 0.5,
+            ref_presorted=map_presorted,
+            interpret=(knn_impl == "pallas_interpret"))
+    else:
+        d2, idx = knn(edges_world, emask, map_pts, mmask, k=k, chunk=chunk)
+        near = map_pts[idx]                    # (E, k, 3)
+    return _line_fit(near, d2[:, k - 1], emask,
+                     max_sq_dist, eig_ratio, min_line_sep)
