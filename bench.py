@@ -1,13 +1,30 @@
 #!/usr/bin/env python
 """Benchmark: full odometry pipeline throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line PER CONFIG as soon as it is measured (flush=True), then
+a final consolidated line — so a timeout still leaves the primary metric in
+the tail (VERDICT r2 #1).  The final line carries every metric:
+{"metric", "value", "unit", "vs_baseline", "combined_*"}.
 
 Baseline: the reference runs on a desktop CPU and its own real-time criterion
 is keeping up with the 10 Hz KITTI Velodyne stream (laser_odometry.cc:253-256
 warns below 0.8x input rate; BASELINE.md).  The repo publishes no faster
 number, so vs_baseline is measured scans/s divided by the 10 scans/s the
 reference is engineered to sustain.
+
+Compile discipline: the persistent compilation cache is enabled (warm
+containers skip XLA entirely), and the two throughput configs share ONE
+combined program — the `local_map_every=4` cadence program serves the
+every-frame case too by pinning the step counter to 0 (step is a traced
+operand, so no retrace).
+
+Time discipline: the remote TPU compile/load service has high latency
+variance (a cold combined-program compile was observed anywhere between
+20 s and 580 s).  The bench runs under a wall budget
+(``LIODOM_BENCH_BUDGET_S``, default 520 s): each phase starts only if the
+remaining budget plausibly covers its worst warm-path cost, otherwise it is
+skipped with a note — the process always exits 0 with a final consolidated
+JSON line.
 """
 
 import json
@@ -17,23 +34,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from liodom_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 BASELINE_SCANS_PER_S = 10.0  # reference real-time target (BASELINE.md)
+BUDGET_S = float(os.environ.get("LIODOM_BENCH_BUDGET_S", "520"))
 
 
 def main():
     from liodom_tpu import LiodomConfig
     from liodom_tpu.core.config import MapConfig
-    from liodom_tpu.core.frame import RawScan
     from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
     from liodom_tpu.odometry import pipeline as P
     from liodom_tpu.mapping.service import combined_image_step, init_combined
 
     from liodom_tpu.runtime import native
 
+    t_start = time.perf_counter()
     cfg = LiodomConfig(local_map_size=5)
     mcfg = MapConfig()
     ccfg = cfg.replace(mapping=True)
@@ -69,45 +91,77 @@ def main():
     np.asarray(pose.t)
     scans_per_s = n_bench / (time.perf_counter() - t0)
 
-    # --- fused odometry + mapping (liodom_node + liodom_mapping together),
-    # local map extracted every frame (per-message mapper) ---
-    def combined_run(every):
-        co, cm = init_combined(ccfg, mcfg)
-        for i in range(n_warm):
-            co, cm, cpose, _ = combined_image_step(
-                co, cm, scans[i][0], scans[i][1], ccfg, mcfg,
-                step=i, local_map_every=every)
-        np.asarray(cpose.t)
-        t0 = time.perf_counter()
-        for i in range(n_warm, n_warm + n_bench):
-            co, cm, cpose, _ = combined_image_step(
-                co, cm, scans[i][0], scans[i][1], ccfg, mcfg,
-                step=i, local_map_every=every)
-        np.asarray(cpose.t)
-        return n_bench / (time.perf_counter() - t0)
-
-    combined_per_s = combined_run(1)
-    # async-mapper cadence: the reference mapper is a second process on a
-    # latched topic; the odometer consumes the *last received* local map
-    # (laser_odometry.cc:276-279), so a refresh every 4th frame mirrors the
-    # real deployment.
-    combined_async_per_s = combined_run(4)
-
+    # the primary metric lands in the output NOW — a later timeout cannot
+    # erase it
     print(json.dumps({
         "metric": "odometry_scans_per_s_1chip",
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 2),
-        "combined_scans_per_s": round(combined_per_s, 2),
-        "combined_vs_baseline": round(combined_per_s / BASELINE_SCANS_PER_S,
-                                      2),
-        "combined_async_scans_per_s": round(combined_async_per_s, 2),
+        "partial": "odometry-only; combined configs follow",
+    }), flush=True)
+
+    # --- fused odometry + mapping (liodom_node + liodom_mapping together).
+    # ONE compiled program (local_map_every=4) serves both cadences:
+    # step=0 every frame -> the cond always refreshes (per-message mapper);
+    # step=i -> refresh every 4th frame (the reference's async-mapper
+    # cadence: second process, latched topic, odometer consumes the map it
+    # received last, laser_odometry.cc:276-279).
+    def combined_run(every_frame: bool):
+        co, cm = init_combined(ccfg, mcfg)
+        for i in range(n_warm):
+            co, cm, cpose, _ = combined_image_step(
+                co, cm, scans[i][0], scans[i][1], ccfg, mcfg,
+                step=0 if every_frame else i, local_map_every=4)
+        np.asarray(cpose.t)
+        t0 = time.perf_counter()
+        for i in range(n_warm, n_warm + n_bench):
+            co, cm, cpose, _ = combined_image_step(
+                co, cm, scans[i][0], scans[i][1], ccfg, mcfg,
+                step=0 if every_frame else i, local_map_every=4)
+        np.asarray(cpose.t)
+        return n_bench / (time.perf_counter() - t0)
+
+    # Budget guard: the combined program's first call costs ~16 s on a
+    # persistent-cache hit but has been observed at 580+ s on a cold remote
+    # compile; only enter each phase with clear headroom so a slow backend
+    # degrades the artifact (skipped combined lines) instead of killing it.
+    remaining = lambda: BUDGET_S - (time.perf_counter() - t_start)
+    combined_per_s = combined_async_per_s = None
+    if remaining() > 60.0:
+        combined_per_s = combined_run(every_frame=True)
+        print(json.dumps({
+            "metric": "combined_scans_per_s_1chip",
+            "value": round(combined_per_s, 2),
+            "unit": "scans/s",
+            "vs_baseline": round(combined_per_s / BASELINE_SCANS_PER_S, 2),
+            "partial": "odometry+mapping fused, local map every frame",
+        }), flush=True)
+    if combined_per_s is not None and remaining() > 20.0:
+        # same compiled program — only the measurement loop remains
+        combined_async_per_s = combined_run(every_frame=False)
+
+    final = {
+        "metric": "odometry_scans_per_s_1chip",
+        "value": round(scans_per_s, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 2),
+        "bench_wall_s": round(time.perf_counter() - t_start, 1),
         "note": "vs_baseline = measured scans/s over the 10 Hz sensor rate "
                 "the reference CPU stack is engineered to sustain "
                 "(laser_odometry.cc:253-256); the ROS stack itself cannot "
                 "run in this environment. Per-stage device times: "
                 "BENCH_STAGES.json / bench_stages.py.",
-    }))
+    }
+    if combined_per_s is not None:
+        final["combined_scans_per_s"] = round(combined_per_s, 2)
+        final["combined_vs_baseline"] = round(
+            combined_per_s / BASELINE_SCANS_PER_S, 2)
+    else:
+        final["combined_skipped"] = "wall budget exhausted (slow backend)"
+    if combined_async_per_s is not None:
+        final["combined_async_scans_per_s"] = round(combined_async_per_s, 2)
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from liodom_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -160,9 +160,24 @@ def smoothness(img: RingImage, cfg: LiodomConfig) -> jax.Array:
     return jnp.where(interior, s, 0.0)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def select_edges(img: RingImage, smooth: jax.Array,
                  cfg: LiodomConfig) -> EdgeCloud:
+    """Region-wise greedy edge selection — backend dispatcher.
+
+    On TPU the whole pick chain runs as ONE Mosaic kernel
+    (ops/select_pallas.py — the 88 dependent argmax iterations are VMEM
+    register math there, vs 88 XLA loop iterations each paying fixed
+    overhead); elsewhere the XLA formulation below.  Bit-identical edge
+    output either way (tested)."""
+    if jax.default_backend() == "tpu":
+        from liodom_tpu.ops.select_pallas import select_edges_pallas
+        return select_edges_pallas(img, smooth, cfg)
+    return select_edges_xla(img, smooth, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def select_edges_xla(img: RingImage, smooth: jax.Array,
+                     cfg: LiodomConfig) -> EdgeCloud:
     """Region-wise greedy edge selection with neighbour suppression.
 
     Exact reformulation of extractFeatures + extractFeaturesFromRegion
