@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--sync-every", type=int, default=50,
                     help="host sync cadence (frames); poses are fetched in "
                     "blocks to amortize device round-trips")
+    ap.add_argument("--time-every", type=int, default=25,
+                    help="sample true per-frame device latency every Nth "
+                    "frame with a blocking pose fetch; laser_odom_times.txt "
+                    "rows carry the last sample (see runtime/stats.py)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="write a resumable checkpoint every "
                     "--checkpoint-every frames; resumes automatically when "
@@ -114,6 +118,7 @@ def main():
         print(f"resumed from checkpoint step {step} (frame {start_frame})")
 
     ring_dropped = 0          # points lost to the ring_width clamp (loader)
+    last_odom_ms = float("nan")   # latest sampled device latency
     scan_iter = seq.iter_images(cfg.scan_lines, cfg.ring_width,
                                 cfg.min_range, cfg.max_range)
     for i, (img, counts, n_drop) in enumerate(scan_iter):
@@ -143,10 +148,22 @@ def main():
                 local_map_every=args.local_map_every)
         else:
             state, pose, n_edges = P.image_step(state, jx, jc, cfg)
+        timed = args.time_every > 0 and \
+            (i - start_frame) % args.time_every == 0
+        if timed:
+            # blocking fetch: the TRUE ingest->pose latency of THIS frame
+            # (all earlier dispatches have completed — in-order execution),
+            # sampled so steady-state pipelining survives (stats.cc:97-131
+            # writes real ms per frame; see runtime/stats.py for the
+            # sampling contract)
+            np.asarray(pose.t)
+            last_odom_ms = (time.perf_counter() - t0) * 1e3
+        elif args.time_every <= 0:
+            last_odom_ms = (time.perf_counter() - t0) * 1e3  # dispatch only
         pending.append((pose, n_edges))
         ck_due = (args.checkpoint_dir is not None
                   and (i + 1) % args.checkpoint_every == 0)
-        if (i == start_frame or (i + 1) % args.sync_every == 0
+        if (timed or (i + 1) % args.sync_every == 0
                 or i == n - 1 or ck_due):
             for p_, ne_ in pending:
                 mat = np.asarray(p_.matrix(), np.float64)
@@ -167,7 +184,7 @@ def main():
                     and (i + 1) % args.viz_every == 0):
                 from liodom_tpu.runtime.viz import export_frame_debug
                 export_frame_debug(args.export_viz, i)
-        stats.add_laser_odometry_time((time.perf_counter() - t0) * 1e3)
+        stats.add_laser_odometry_time(last_odom_ms)
         freq.tick_output(t=i * sensor_dt + (time.perf_counter() - t_start))
 
     wall = time.perf_counter() - t_start - (t_compile or 0.0)

@@ -138,7 +138,7 @@ def main():
 
     stage_ms["map_update"] = timeit(
         lambda: G.update_map(cm, edges_c.xyz, edges_c.valid, cpose, mcfg),
-        lambda o: np.asarray(o.n_cells))
+        lambda o: np.asarray(o.overflow))
 
     stage_ms["map_local"] = timeit(
         lambda: G.get_local_map(cm, cpose.t, mcfg,

@@ -61,33 +61,23 @@ class MapState(NamedTuple):
     xyz: jax.Array       # (C, 3) slot centroid (world frame); 0 when empty
     key: jax.Array       # (C, 3) int32 cell key of the slot
     valid: jax.Array     # (C,) bool — slot occupied
-    n_cells: jax.Array   # () int32 — distinct occupied cells (exact)
     overflow: jax.Array  # () int32 — points dropped (probe/capacity), cum.
     code1: jax.Array     # (C,) uint32 — packed (cell, leaf) identity, major
     code2: jax.Array     # (C,) uint32 — minor word; empty slots hold MAX
-    # secondary open-addressing table of occupied CELLS (for exact n_cells
-    # bookkeeping without scanning); cell codes are (k1, k2 >> 21)
-    cell1: jax.Array     # (Cc,) uint32
-    cell2: jax.Array     # (Cc,) uint32
 
 
 _MAXU32 = jnp.uint32(0xFFFFFFFF)
 _MAX_PROBES = 64
 
 
-def init_map(capacity: int, dtype=jnp.float32,
-             cell_capacity: int | None = None) -> MapState:
-    cc = cell_capacity if cell_capacity is not None else max(capacity // 8, 64)
+def init_map(capacity: int, dtype=jnp.float32) -> MapState:
     return MapState(
         jnp.zeros((capacity, 3), dtype),
         jnp.zeros((capacity, 3), jnp.int32),
         jnp.zeros((capacity,), bool),
         jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.int32),
         jnp.full((capacity,), _MAXU32),
         jnp.full((capacity,), _MAXU32),
-        jnp.full((cc,), _MAXU32),
-        jnp.full((cc,), _MAXU32),
     )
 
 
@@ -178,6 +168,27 @@ def _order_by_codes(k1: jax.Array, k2: jax.Array) -> jax.Array:
     return order[jnp.argsort(k1[order], stable=True)]
 
 
+def _decode_cell_keys(k1: jax.Array, k2: jax.Array, cfg: MapConfig
+                      ) -> jax.Array:
+    """Inverse of the cell part of :func:`_packed_codes`: the reference's
+    meter-valued cell key (map.cc:103-105) recovered elementwise from the
+    packed code — bit-exact for non-aliased cells, because
+    ``floor(p/size)`` is stored losslessly as the cell index and the key is
+    the same f32 expression ``trunc(c*size + size/2)`` evaluated on it."""
+    sx, sz = cfg.voxel_xysize, cfg.voxel_zsize
+    half = 1 << (_CELL_BITS - 1)
+    cux = (k1 >> 19) & jnp.uint32(0xFFF)
+    cuy = (k1 >> 7) & jnp.uint32(0xFFF)
+    cuz = ((k1 & jnp.uint32(0x7F)) << 5) | ((k2 >> 21) & jnp.uint32(0x1F))
+
+    def axis_key(cu, size):
+        c = (cu.astype(jnp.int32) - half).astype(jnp.float32)
+        return jnp.trunc(c * size + size / 2.0).astype(jnp.int32)
+
+    return jnp.stack([axis_key(cux, sx), axis_key(cuy, sx),
+                      axis_key(cuz, sz)], axis=-1)
+
+
 def _hash_pair(k1: jax.Array, k2: jax.Array, table_size: int) -> jax.Array:
     """Slot hash of a (k1, k2) code pair — two odd-constant multiplies mixed
     (Fibonacci/Murmur-style), mod table size."""
@@ -256,7 +267,14 @@ def update_map(state: MapState, pts: jax.Array, valid: jax.Array,
     ``overflow``: points are dropped when linear probing exhausts
     ``_MAX_PROBES`` slots or the table is effectively full — the reference
     grows without bound instead.  Non-packable configs (see
-    :func:`packable`) fall back to the full path."""
+    :func:`packable`) fall back to the full path.
+
+    Cost discipline (round 3): beyond the probe loop the update is ONE
+    E-sized scatter-add (the 4-wide ``[x y z 1]`` payload) plus elementwise
+    passes — ``key`` and ``valid`` are decoded from the probe table rather
+    than stamped with scatters, and the former exact on-device cell counter
+    (a second probe-insert per frame, ~half the update cost) is replaced by
+    the lazy :func:`count_cells` diagnostic."""
     if not packable(cfg):
         return update_map_full(state, pts, valid, pose, cfg)
 
@@ -264,45 +282,35 @@ def update_map(state: MapState, pts: jax.Array, valid: jax.Array,
     dtype = state.xyz.dtype
 
     new_xyz = se3.transform(pose, pts.astype(dtype))
-    new_key = cell_keys(new_xyz, cfg)
     k1, k2 = _packed_codes(new_xyz, valid, cfg)
 
-    tab1, tab2, slot, claimed, failed = _probe_insert(
+    tab1, tab2, slot, _claimed, failed = _probe_insert(
         state.code1, state.code2, k1, k2, valid)
     ok = valid & ~failed
     slot_c = jnp.where(ok, slot, cap)               # cap -> dropped
 
-    # fold: per-slot sums of the new points (+1 for a pre-existing centroid)
-    add_sum = jnp.zeros((cap, 3), dtype).at[slot_c].add(
-        jnp.where(ok[:, None], new_xyz, 0.0), mode="drop")
-    add_cnt = jnp.zeros((cap,), dtype).at[slot_c].add(
-        ok.astype(dtype), mode="drop")
+    # fold: per-slot sums of the new points (+1 for a pre-existing centroid),
+    # one fused scatter of the [x, y, z, 1] payload
+    payload = jnp.concatenate(
+        [jnp.where(ok[:, None], new_xyz, 0.0),
+         ok[:, None].astype(dtype)], axis=1)        # (E, 4)
+    acc = jnp.zeros((cap, 4), dtype).at[slot_c].add(payload, mode="drop")
+    add_sum, add_cnt = acc[:, :3], acc[:, 3]
     base_w = state.valid.astype(dtype)              # stored centroid weight
     touched = add_cnt > 0
     out_xyz = jnp.where(touched[:, None],
                         (state.xyz * base_w[:, None] + add_sum)
                         / (base_w + add_cnt)[:, None],
                         state.xyz)
-    # stamp key/valid on newly-claimed slots (claim winners share the code,
-    # hence the key — duplicate writes are identical)
-    stamp = jnp.where(claimed & ok, slot, cap)
-    out_key = state.key.at[stamp].set(new_key, mode="drop")
-    out_valid = state.valid.at[stamp].set(True, mode="drop")
-
-    # exact n_cells: find-or-insert the CELL code of newly-claimed leaves
-    # into the secondary cell table; new cells = slots that transitioned
-    # empty -> occupied (several same-cell claimants converge on one slot,
-    # so counting claimants would overcount)
-    c1 = jnp.where(claimed & ok, k1, _MAXU32)
-    c2 = jnp.where(claimed & ok, k2 >> 21, _MAXU32)
-    cell1, cell2, _, _, _ = _probe_insert(
-        state.cell1, state.cell2, c1, c2, claimed & ok)
-    n_cells = state.n_cells + jnp.sum(
-        ((state.cell1 == _MAXU32) & (cell1 != _MAXU32)).astype(jnp.int32))
+    # key/valid are pure functions of the probe table — elementwise decode,
+    # no scatters (valid codes always have the k1 top bit clear)
+    out_valid = tab1 != _MAXU32
+    out_key = jnp.where(out_valid[:, None],
+                        _decode_cell_keys(tab1, tab2, cfg), 0)
 
     dropped = jnp.sum((valid & failed).astype(jnp.int32))
-    return MapState(out_xyz, out_key, out_valid, n_cells,
-                    state.overflow + dropped, tab1, tab2, cell1, cell2)
+    return MapState(out_xyz, out_key, out_valid,
+                    state.overflow + dropped, tab1, tab2)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -375,15 +383,22 @@ def update_map_full(state: MapState, pts: jax.Array, valid: jax.Array,
     out_k2 = jnp.where(live, k2_s[seg_first], _MAXU32)[:cap]
     dropped = jnp.maximum(n_seg - cap, 0)
 
-    # distinct cells among surviving rows (cell key change marks a new cell)
-    cell_head = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         jnp.any(seg_key[1:cap] != seg_key[:cap - 1], axis=-1)])
-    n_cells = jnp.sum((cell_head & out_valid).astype(jnp.int32))
+    return MapState(out_xyz, out_key, out_valid,
+                    state.overflow + dropped, out_k1, out_k2)
 
-    return MapState(out_xyz, out_key, out_valid, n_cells,
-                    state.overflow + dropped, out_k1, out_k2,
-                    state.cell1, state.cell2)
+
+def count_cells(state: MapState) -> int:
+    """Exact distinct-cell count — the reference's ``map_.size()`` over its
+    ``unordered_map`` of cells (map.h/map.cc), a logging/diagnostic value.
+
+    Host-side and lazy by design: the former per-frame on-device counter
+    cost a second probe-insert pass (~half of ``update_map``); nothing on
+    the hot path consumes the count, so it is computed here on demand from
+    either map layout."""
+    key = np.asarray(state.key)[np.asarray(state.valid)]
+    if key.size == 0:
+        return 0
+    return int(len(np.unique(key, axis=0)))
 
 
 def get_map(state: MapState) -> Tuple[jax.Array, jax.Array]:

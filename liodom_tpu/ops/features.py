@@ -205,7 +205,15 @@ def select_edges_xla(img: RingImage, smooth: jax.Array,
     vector work of scanning the full image per pick, with bit-identical
     results (the argmax was region-masked anyway, and suppression is merged
     back into the ring-global mask between regions, preserving the
-    cross-sector carry of the reference's ``picked_`` array)."""
+    cross-sector carry of the reference's ``picked_`` array).
+
+    Known divergence (edges unaffected): backward suppression reaching
+    BEFORE the window start (into the previous, already-finalised region) is
+    dropped, so the internal ``picked`` mask may miss bits the reference's
+    ``picked_`` array would set.  Edge OUTPUT is bit-identical because
+    earlier regions never re-pick, but do not grow a new consumer of the
+    mask (e.g. surface features) without first extending the window 5
+    columns before ``start``."""
     r, w = img.xyz.shape[0], img.xyz.shape[1]
     xyz = img.xyz
     count = img.count

@@ -323,6 +323,12 @@ def _knn_coords_kernel(flags_ref, q_ref, r_ref, out_d_ref, out_x_ref,
 # Invalid refs are displaced by 2*_FAR, so any picked-invalid distance is at
 # least ~(2e4 - 240)^2 ≈ 3.9e8, while real squared ranges top out around
 # (2 * max_range)^2 ≈ 5.8e4.  Anything past this threshold is a FAR pick.
+# ASSUMPTION (differs from knn_pallas's explicit ~rmask[best_i] check): this
+# encoding is only sound while |world coordinate| << _FAR on every axis —
+# a real point at z ~ 20 km would cross the threshold and be misread as an
+# invalid pick.  LiDAR odometry coordinates are bounded by trajectory length
+# (km-scale at most), so the margin is ~3 orders of magnitude; revisit only
+# if query/ref frames ever leave a local world frame.
 _FAR_PICK_D2 = 1.0e6
 
 

@@ -77,10 +77,11 @@ def _sharded_correspondences(edges_world, emask, map_xyz, map_valid, cfg):
 def _one_sequence_step(state: OdomState, exyz, evalid, cfg: LiodomConfig):
     """Per-sequence frame step with 'map'-sharded correspondence compute.
     Runs inside shard_map; window state is replicated over 'map'."""
-    map_xyz, map_valid = local_map.flatten(state.window)
-    if cfg.mapping and state.received_xyz.shape[0] > 0:
-        map_xyz = jnp.concatenate([map_xyz, state.received_xyz], 0)
-        map_valid = jnp.concatenate([map_valid, state.received_valid], 0)
+    # same matching-map assembly as the single-chip path (incl. the optional
+    # window voxel filter and the received-map merge) — replicated compute
+    # inside the map group
+    from liodom_tpu.odometry.pipeline import _matching_map
+    map_xyz, map_valid = _matching_map(state, cfg)
 
     # slice my map shard
     md = jax.lax.axis_size("map")

@@ -2,11 +2,15 @@
 
 The reference's mapper is a single process owning one ``unordered_map`` of
 cells (map.cc).  At scale the map outgrows one device, so here each device
-owns the cells whose key hashes to it (the reference's own hash,
-``(h1 ^ h2<<1) ^ h3<<2``, map.h:74-83).  Because a point's cell is a pure
-function of its coordinates and per-cell re-voxelisation never looks across
-cells (map.cc:124-128), shard-local updates produce exactly the same global
-point set as the monolithic map — no cross-device traffic on update at all.
+owns a deterministic slice of the grid.  Ownership is at RESOLUTION-LEAF
+granularity (0.4 m), not cell granularity (40 m): a scan near the origin
+touches only a handful of cells but thousands of leaves, so hashing cells
+puts nearly every point on one shard while hashing leaves balances
+~uniformly.  This is exact because re-voxelisation never looks across
+leaves (a leaf's centroid depends only on that leaf's points; map.cc:124-128
+re-filters per cell but VoxelGrid leaves live on the global grid), so
+shard-local updates produce exactly the same global point set as the
+monolithic map — no cross-device traffic on update at all.
 Only the local-map gather communicates: each shard extracts its hits of the
 query neighbourhood and one ``all_gather`` over ICI assembles the matching
 map (replacing the reference's mapper->odometer ROS topic,
@@ -31,16 +35,37 @@ from jax import shard_map
 from liodom_tpu.core.config import MapConfig
 from liodom_tpu.core.pose import Pose
 from liodom_tpu.core import pose as se3
-from liodom_tpu.mapping.grid import (MapState, cell_keys, get_local_map,
+from liodom_tpu.mapping.grid import (MapState, get_local_map,
                                      init_map, update_map)
 
 
 def cell_owner(key: jax.Array, n_shards: int) -> jax.Array:
-    """Shard owning a cell key (..., 3) — the reference's HashKey hash
-    (map.h:74-83) mod the shard count."""
+    """Shard owning an integer grid key (..., 3) — the reference's HashKey
+    mix (map.h:74-83), avalanched, mod the shard count.
+
+    The avalanche multiply is essential, not cosmetic: grid keys are
+    regular integers (cell keys are meter-valued multiples of the voxel
+    sizes), so the raw reference hash has highly structured low bits and a
+    raw ``% n_shards`` with a power-of-two shard count collapses onto few
+    shards (the reference survives because ``unordered_map`` buckets are
+    prime-counted)."""
     k = key.astype(jnp.uint32)
     h = (k[..., 0] ^ (k[..., 1] << 1)) ^ (k[..., 2] << 2)
+    h = h * jnp.uint32(0x9E3779B1)
+    h = h ^ (h >> 16)
     return (h % jnp.uint32(n_shards)).astype(jnp.int32)
+
+
+def leaf_owner(world_xyz: jax.Array, res: float, n_shards: int) -> jax.Array:
+    """Shard owning each point, by its RESOLUTION leaf ``floor(p / res)``.
+
+    Leaf-granular ownership is the balance-critical choice: a 40 m cell near
+    the sensor can hold most of a frame's points (one shard overflows while
+    the rest idle), whereas 0.4 m leaves split any scene ~uniformly.  Exact
+    w.r.t. the monolithic map because a leaf's centroid never depends on
+    other leaves."""
+    leaf = jnp.floor(world_xyz / res).astype(jnp.int32)
+    return cell_owner(leaf, n_shards)
 
 
 def init_sharded_map(mcfg: MapConfig, n_shards: int, dtype=jnp.float32
@@ -54,12 +79,11 @@ def init_sharded_map(mcfg: MapConfig, n_shards: int, dtype=jnp.float32
 
 def _shard_update(state: MapState, pts: jax.Array, valid: jax.Array,
                   pose: Pose, mcfg: MapConfig, axis: str) -> MapState:
-    """Inside shard_map: keep only my cells, merge locally."""
+    """Inside shard_map: keep only my leaves, merge locally."""
     n = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     world = se3.transform(pose, pts)
-    key = cell_keys(world, mcfg)
-    mine = valid & (cell_owner(key, n) == me)
+    mine = valid & (leaf_owner(world, mcfg.resolution, n) == me)
     return update_map(state, pts, mine, pose, mcfg)
 
 

@@ -21,6 +21,15 @@ loader dequeue + host->device transfer in the image-input apps
 (runtime.native ring-splits in prefetch threads), or a measured re-dispatch
 of the extraction alone in the raw-scan apps.  Per-stage device times live
 in BENCH_STAGES.json (bench_stages.py).
+
+Sampling contract for ``laser_odom_times`` (the apps dispatch frames
+asynchronously to keep the device pipelined): every Kth frame
+(``--time-every``) is timed with a blocking pose fetch — its row is the
+TRUE ingest->pose latency of that frame — and the untimed frames in
+between carry the most recent sample.  Row count still equals the frame
+count, and means/medians reflect real device latency (the reference writes
+real per-frame ms, stats.cc:97-131; a naive async timestamp would write
+~0.1 ms dispatch stubs instead).
 ``frame_times`` pairs ``start_frame`` (scan ingest) with ``stop_frame``
 (pose fetched back to the host), exactly like the reference's queue pairing
 (stats.cc:55-71).

@@ -8,6 +8,7 @@ import pytest
 from liodom_tpu.core.config import MapConfig
 from liodom_tpu.core.pose import Pose
 from liodom_tpu.mapping import (init_map, update_map, get_map, get_local_map,
+                                count_cells,
                                 local_map_offsets, map_entropy, cell_keys)
 
 
@@ -155,7 +156,7 @@ def test_update_map_matches_reference_point_set():
     got = np.asarray(got_xyz)[np.asarray(got_valid)]
     want = ref.get_map()
     assert_same_cloud(got, want)
-    assert int(state.n_cells) == len(ref.cells)
+    assert count_cells(state) == len(ref.cells)
     assert int(state.overflow) == 0
 
 
@@ -237,7 +238,7 @@ def _assert_states_equivalent(a, b, i):
     av = np.asarray(a.valid)
     bv = np.asarray(b.valid)
     assert av.sum() == bv.sum(), i
-    assert int(a.n_cells) == int(b.n_cells), i
+    assert count_cells(a) == count_cells(b), i
     assert int(a.overflow) == int(b.overflow), i
     # match rows by (cell key, rounded centroid): every hash slot must have
     # exactly one sorted-row counterpart (centroids agree up to float-sum
@@ -311,7 +312,7 @@ def test_hash_matches_numpy_reference():
         state = update_map(state, xyz, valid, pose, CFG)
     got = np.asarray(state.xyz)[np.asarray(state.valid)]
     assert_same_cloud(got, ref.get_map())
-    assert int(state.n_cells) == len(ref.cells)
+    assert count_cells(state) == len(ref.cells)
 
 
 def test_local_map_truncation_reported():

@@ -7,7 +7,8 @@ from liodom_tpu.core.config import LiodomConfig, MapConfig
 from liodom_tpu.core.frame import RawScan
 from liodom_tpu.core.pose import Pose
 from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
-from liodom_tpu.mapping import (MappingService, combined_step, init_combined)
+from liodom_tpu.mapping import (MappingService, combined_step, init_combined,
+                                count_cells)
 
 CFG = LiodomConfig(max_points=16384, ring_width=256, local_map_size=3,
                    mapping=True)
@@ -38,7 +39,7 @@ def test_combined_step_tracks_and_builds_map():
     assert int(n_edges) > 100
     # map built and feedback populated
     assert int(jnp.sum(mstate.valid)) > 500
-    assert int(mstate.n_cells) >= 1
+    assert count_cells(mstate) >= 1
     assert int(jnp.sum(odom.received_valid)) > 100
     # pose error stays small over the little trajectory
     assert float(np.max(errs)) < 0.5
