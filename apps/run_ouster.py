@@ -37,6 +37,8 @@ def main():
                     help="directory of (rings, width, 3) .npy organized clouds")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--width", type=int, default=1024,
+                    help="columns per ring for --synthetic renders")
     ap.add_argument("--scan-lines", type=int, default=64)
     ap.add_argument("--local-map-size", type=int, default=15)
     ap.add_argument("--results-dir", default=None)
@@ -61,8 +63,8 @@ def main():
         pos, yaws = drive_trajectory(args.frames, speed=1.0, yaw_rate=0.01)
         # BoxWorld renders ring-major (hdl64_directions meshgrid 'ij'), so a
         # reshape IS the row-organized cloud an Ouster driver would emit
-        frames = [world.render(pos[i], yaw_matrix(yaws[i]), width=1024,
-                               noise=0.01, seed=i).reshape(64, 1024, 3)
+        frames = [world.render(pos[i], yaw_matrix(yaws[i]), width=args.width,
+                               noise=0.01, seed=i).reshape(64, args.width, 3)
                   for i in range(args.frames)]
     else:
         print("need --dir or --synthetic", file=sys.stderr)

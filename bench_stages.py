@@ -171,14 +171,64 @@ def main():
     np.asarray(p1.t)
     combined_ms = (time.perf_counter() - t0) * 1e3 / reps
 
+    # ---- roofline anchors (VERDICT r2 #8): achieved rate vs what the chip
+    # can do.  Peaks are the public TPU v5e numbers — 197 TFLOP/s bf16 MXU,
+    # 819 GB/s HBM.  The kNN distance pass is VPU elementwise work (compare/
+    # select, no matmul), so the MXU peak is NOT its binding roofline; the
+    # honest anchors are HBM bytes streamed and the elementwise FLOP rate.
+    PEAK_MXU_BF16 = 197e12
+    PEAK_HBM = 819e9
+    E = cfg.max_edges                       # queries
+    M = cfg.local_map_size * cfg.max_edges  # window reference points
+    # distances: 3 sub + 3 mul + 2 add = 8 flop per (query, ref) pair; the
+    # running-top-k merge adds ~2k compare/selects per pair-tile column
+    knn_flops = 8.0 * E * M
+    # streamed HBM bytes: ref tiles re-read once per query tile (grid (e, m)),
+    # queries once per m tile; f32 xyz padded to 4 lanes
+    n_e_tiles = max(E // 64, 1)
+    knn_bytes = 16.0 * (M * n_e_tiles + E * max(M // 2048, 1))
+    t_knn = stage_ms["knn_line_fit"] / 1e3
+    # LM: 2 association rounds x inner_iters damped solves; per solve the
+    # einsums are J^T J (E x 6 x 6) + J^T r — a latency-bound sliver
+    lm_flops = 2.0 * cfg.inner_iters * E * (2 * 36 + 12 + 60)
+    t_lm = stage_ms["lm_solve"] / 1e3
+    roofline = {
+        "knn_line_fit": {
+            "flops": knn_flops,
+            "achieved_gflops": round(knn_flops / t_knn / 1e9, 1),
+            "mxu_bf16_peak_fraction": round(knn_flops / t_knn
+                                            / PEAK_MXU_BF16, 4),
+            "hbm_bytes": knn_bytes,
+            "achieved_hbm_gbps": round(knn_bytes / t_knn / 1e9, 1),
+            "hbm_peak_fraction": round(knn_bytes / t_knn / PEAK_HBM, 3),
+            "note": "VPU/HBM-bound (elementwise distances + top-k); MXU "
+                    "fraction shown only to size the gap a matmul "
+                    "formulation would have to beat",
+        },
+        "lm_solve": {
+            "flops": lm_flops,
+            "achieved_gflops": round(lm_flops / t_lm / 1e9, 2),
+            "note": "latency-bound: ~MFLOP-scale einsums over 8 dependent "
+                    "damped iterations; time is dispatch + serial chain, "
+                    "not compute",
+        },
+        "anchors": {"mxu_bf16_flops": PEAK_MXU_BF16, "hbm_bytes_s": PEAK_HBM,
+                    "chip": "TPU v5e (public specs)"},
+    }
+
     print("stage                 ms/call", file=sys.stderr)
     for k, v in stage_ms.items():
         print(f"  {k:<20}{v:8.3f}", file=sys.stderr)
     print(f"  {'odom fused step':<20}{odom_ms:8.3f}", file=sys.stderr)
     print(f"  {'combined fused step':<20}{combined_ms:8.3f}", file=sys.stderr)
+    print(f"  knn roofline: {roofline['knn_line_fit']['achieved_gflops']} "
+          f"GFLOP/s, {roofline['knn_line_fit']['achieved_hbm_gbps']} GB/s "
+          f"({roofline['knn_line_fit']['hbm_peak_fraction']:.0%} of HBM peak)",
+          file=sys.stderr)
     payload = {"stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
                "odom_ms": round(odom_ms, 3),
                "combined_ms": round(combined_ms, 3),
+               "roofline": roofline,
                "note": "isolated per-stage jits include a ~0.5-1 ms "
                        "dispatch floor each; the fused steps are the "
                        "ground truth"}

@@ -429,3 +429,231 @@ def spatial_sort_points(xyz: jax.Array, mask: jax.Array, cell: float = 2.0
     perm = _spatial_order(xyz, mask, cell=cell)
     ok = mask[perm]
     return jnp.where(ok[:, None], xyz[perm], 0.0), ok
+
+
+# Abramowitz & Stegun 4.4.46 arccos polynomial (|error| <= 2e-8 over [0, 1])
+# — Mosaic has no acos lowering; cos/sqrt are native, so only this tiny poly
+# is needed to run Cardano fully inside the kernel.
+_ACOS_COEFFS = (1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+                0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911)
+
+
+def _acos(x: jax.Array) -> jax.Array:
+    """arccos for x in [-1, 1]; 2e-8 absolute error — far below the f32
+    resolution of the downstream eigenvalue gate."""
+    ax = jnp.abs(x)
+    p = jnp.full_like(ax, _ACOS_COEFFS[-1])
+    for c in _ACOS_COEFFS[-2::-1]:
+        p = p * ax + c
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0, jnp.pi - r, r)
+
+
+def _knn_lines_kernel(flags_ref, q_ref, r_ref, out_ref, best_d, best_x,
+                      best_y, best_z, *, k: int, tile_m: int,
+                      max_sq_dist: float, eig_ratio: float,
+                      min_line_sep: float):
+    """Coords kernel + the whole line-fit gate as the epilogue (VERDICT r2
+    #9): centroid, un-normalised covariance, Cardano eigenvalues,
+    ``lambda_max > eig_ratio * lambda_mid``, endpoint separation and the
+    k-th-distance accept gate (laser_odometry.cc:325-357) — all computed on
+    the VMEM-resident best-k planes in the final grid step, so the (E, k)
+    neighbour planes never leave the chip at all.  One output plane per
+    query row: lanes [0:3] = lpa, [3:6] = lpb, [6] = gate (1.0 / 0.0).
+    Gate math is the same f32 expression chain as neighbors._line_fit /
+    sym3_eigenvalues."""
+    e_idx = pl.program_id(0)
+    m_idx = pl.program_id(1)
+    n_m = pl.num_programs(1)
+    tile_e = q_ref.shape[0]
+
+    @pl.when(m_idx == 0)
+    def _():
+        best_d[:] = jnp.full((tile_e, _KPAD), _BIG, jnp.float32)
+        zero = jnp.zeros((tile_e, _KPAD), jnp.float32)
+        best_x[:] = zero
+        best_y[:] = zero
+        best_z[:] = zero
+
+    @pl.when(flags_ref[e_idx * n_m + m_idx] != 0)
+    def _():
+        rx = jnp.broadcast_to(r_ref[0:1, :], (tile_e, tile_m))
+        ry = jnp.broadcast_to(r_ref[1:2, :], (tile_e, tile_m))
+        rz = jnp.broadcast_to(r_ref[2:3, :], (tile_e, tile_m))
+        dx = q_ref[:, 0:1] - rx
+        dy = q_ref[:, 1:2] - ry
+        dz = q_ref[:, 2:3] - rz
+        d2 = dx * dx + dy * dy + dz * dz
+
+        comb_d = jnp.concatenate([best_d[:], d2], axis=1)
+        comb_x = jnp.concatenate([best_x[:], rx], axis=1)
+        comb_y = jnp.concatenate([best_y[:], ry], axis=1)
+        comb_z = jnp.concatenate([best_z[:], rz], axis=1)
+        width = _KPAD + tile_m
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, width), 1)
+
+        new_d, new_x, new_y, new_z = [], [], [], []
+        for _ in range(k):
+            am = jnp.argmin(comb_d, axis=1).astype(jnp.int32)
+            onehot = cols == am[:, None]
+            new_d.append(jnp.min(comb_d, axis=1))
+            new_x.append(jnp.sum(jnp.where(onehot, comb_x, 0.0), axis=1))
+            new_y.append(jnp.sum(jnp.where(onehot, comb_y, 0.0), axis=1))
+            new_z.append(jnp.sum(jnp.where(onehot, comb_z, 0.0), axis=1))
+            comb_d = jnp.where(onehot, _BIG, comb_d)
+
+        pad_d = jnp.full((tile_e, _KPAD - k), _BIG, jnp.float32)
+        pad_0 = jnp.zeros((tile_e, _KPAD - k), jnp.float32)
+        best_d[:] = jnp.concatenate([jnp.stack(new_d, 1), pad_d], axis=1)
+        best_x[:] = jnp.concatenate([jnp.stack(new_x, 1), pad_0], axis=1)
+        best_y[:] = jnp.concatenate([jnp.stack(new_y, 1), pad_0], axis=1)
+        best_z[:] = jnp.concatenate([jnp.stack(new_z, 1), pad_0], axis=1)
+
+    @pl.when(m_idx == n_m - 1)
+    def _():
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, _KPAD), 1)
+        mk = (col < k).astype(jnp.float32)
+        bd, bx, by, bz = best_d[:], best_x[:], best_y[:], best_z[:]
+
+        def lane(plane, i):
+            return jnp.sum(jnp.where(col == i, plane, 0.0), axis=1)
+
+        dk = lane(bd, k - 1)
+        inv_k = 1.0 / float(k)
+        mx = jnp.sum(bx * mk, axis=1) * inv_k
+        my = jnp.sum(by * mk, axis=1) * inv_k
+        mz = jnp.sum(bz * mk, axis=1) * inv_k
+        cx = (bx - mx[:, None]) * mk
+        cy = (by - my[:, None]) * mk
+        cz = (bz - mz[:, None]) * mk
+        a00 = jnp.sum(cx * cx, axis=1)
+        a01 = jnp.sum(cx * cy, axis=1)
+        a02 = jnp.sum(cx * cz, axis=1)
+        a11 = jnp.sum(cy * cy, axis=1)
+        a12 = jnp.sum(cy * cz, axis=1)
+        a22 = jnp.sum(cz * cz, axis=1)
+
+        # Cardano, same chain as neighbors.sym3_eigenvalues
+        p1 = a01 * a01 + a02 * a02 + a12 * a12
+        q = (a00 + a11 + a22) / 3.0
+        p2 = ((a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1)
+        p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+        safe_p = jnp.where(p > 0, p, 1.0)
+        b00 = (a00 - q) / safe_p
+        b11 = (a11 - q) / safe_p
+        b22 = (a22 - q) / safe_p
+        b01 = a01 / safe_p
+        b02 = a02 / safe_p
+        b12 = a12 / safe_p
+        detB = (b00 * (b11 * b22 - b12 * b12)
+                - b01 * (b01 * b22 - b12 * b02)
+                + b02 * (b01 * b12 - b11 * b02))
+        r = jnp.clip(detB / 2.0, -1.0, 1.0)
+        phi = _acos(r) / 3.0
+        e_max = q + 2.0 * p * jnp.cos(phi)
+        e_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+        e_mid = 3.0 * q - e_max - e_min
+        # p == 0 -> A = qI: all eigenvalues q (ratio gate then fails for
+        # q > 0, exactly like sym3_eigenvalues' equal-eigs branch)
+        e_max = jnp.where(p > 0, e_max, q)
+        e_mid = jnp.where(p > 0, e_mid, q)
+
+        ax, ay, az = lane(bx, 0), lane(by, 0), lane(bz, 0)
+        bx1, by1, bz1 = lane(bx, 1), lane(by, 1), lane(bz, 1)
+        sep_sq = ((ax - bx1) ** 2 + (ay - by1) ** 2 + (az - bz1) ** 2)
+        ok = ((dk < max_sq_dist) & (e_max > eig_ratio * e_mid)
+              & (sep_sq > min_line_sep * min_line_sep))
+
+        out = jnp.zeros((tile_e, _KPAD), jnp.float32)
+        for i, v in enumerate((ax, ay, az, bx1, by1, bz1,
+                               ok.astype(jnp.float32))):
+            out = jnp.where(col == i, v[:, None], out)
+        out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "tile_e", "tile_m", "interpret", "max_sq_dist", "eig_ratio",
+    "min_line_sep", "sort_cell", "ref_presorted"))
+def knn_lines_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
+                     rmask: jax.Array, k: int = 5,
+                     max_sq_dist: float = 1.0, eig_ratio: float = 3.0,
+                     min_line_sep: float = 0.01, tile_e: int = 64,
+                     tile_m: int = 2048, interpret: bool = False,
+                     sort_cell: float = 2.0, ref_presorted: bool = False
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """kNN + the full line-fit gate in ONE kernel:
+
+    query (E, 3), qmask (E,), ref (M, 3), rmask (M,) ->
+    (lpa (E, 3), lpb (E, 3), valid (E,)) — exactly the
+    neighbors.LineCorrespondences contract (laser_odometry.cc:318-362)
+    minus the emask AND, which the caller applies.
+
+    Radius pruning always uses sqrt(max_sq_dist) — the correspondence gate
+    drops any farther edge anyway, so pruning is gate-exact.  FAR-displaced
+    (invalid-ref) picks fail the same gate (their distance >= ~3.9e8, see
+    _FAR_PICK_D2 note).  Endpoint coords of gated-out rows are zero.
+
+    MEASURED OUTCOME (scripts/knn_sweep.py, production working set 5.6k x
+    28k, one v5e chip): 2.53 ms vs 2.30 ms for the coords kernel + XLA line
+    fit — XLA fuses the (E, k) epilogue into ~0.04 ms, while pushing the
+    same math into the kernel's final grid step serializes it against the
+    merge loop.  Kept as a tested opt-in (LIODOM_KNN_IMPL=pallas_lines /
+    knn_impl="pallas_lines"); the default TPU path stays on the coords
+    kernel."""
+    e, m = query.shape[0], ref.shape[0]
+    dtype = jnp.float32
+    max_radius = float(max_sq_dist) ** 0.5
+
+    qperm = _spatial_order(query, qmask, cell=sort_cell)
+    query, qmask = query[qperm], qmask[qperm]
+    if not ref_presorted:
+        rperm = _spatial_order(ref, rmask, cell=sort_cell)
+        ref, rmask = ref[rperm], rmask[rperm]
+
+    ref_enc = jnp.where(rmask[:, None], ref.astype(dtype),
+                        ref.astype(dtype) + 2.0 * _FAR)
+    e_pad = (-e) % tile_e
+    m_pad = (-m) % tile_m
+    q4 = jnp.pad(query.astype(dtype), ((0, e_pad), (0, 1)))
+    r4 = jnp.pad(ref_enc, ((0, m_pad), (0, 1)), constant_values=_FAR).T
+    ep, mp = q4.shape[0], r4.shape[1]
+    n_e_tiles = ep // tile_e
+    n_m_tiles = mp // tile_m
+
+    qm_p = jnp.pad(qmask, (0, e_pad))
+    rm_p = jnp.pad(rmask, (0, m_pad))
+    qlo, qhi, qne = _tile_aabbs(q4[:, :3], qm_p, tile_e)
+    rlo, rhi, rne = _tile_aabbs(r4.T[:, :3], rm_p, tile_m)
+    flags = _pair_flags(qlo, qhi, qne, rlo, rhi, rne, max_radius).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_e_tiles, n_m_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_e, 4), lambda i, j, flags: (i, 0)),
+            pl.BlockSpec(
+                (4, tile_m),
+                lambda i, j, flags, n_m=n_m_tiles: (
+                    0, jnp.where(flags[i * n_m + j] != 0, j, 0)),
+            ),
+        ],
+        out_specs=[pl.BlockSpec((tile_e, _KPAD),
+                                lambda i, j, flags: (i, 0))],
+        scratch_shapes=[pltpu.VMEM((tile_e, _KPAD), dtype)] * 4,
+    )
+    (plane,) = pl.pallas_call(
+        functools.partial(_knn_lines_kernel, k=k, tile_m=tile_m,
+                          max_sq_dist=float(max_sq_dist),
+                          eig_ratio=float(eig_ratio),
+                          min_line_sep=float(min_line_sep)),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ep, _KPAD), dtype)],
+        interpret=interpret,
+    )(flags, q4, r4)
+
+    plane = plane[:e]
+    lpa = plane[:, 0:3]
+    lpb = plane[:, 3:6]
+    ok = (plane[:, 6] > 0.5) & qmask
+    inv_q = jnp.argsort(qperm)
+    return lpa[inv_q], lpb[inv_q], ok[inv_q]

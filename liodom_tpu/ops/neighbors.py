@@ -179,15 +179,37 @@ def line_correspondences(edges_world: jax.Array, emask: jax.Array,
     ``min_line_sep`` apart (see LiodomConfig.min_line_sep — degenerate
     duplicate-point "lines" are numerically meaningless).
 
-    ``knn_impl``: "auto" uses the Pallas coords-epilogue kernel on TPU (the
-    kernel emits neighbour coordinates straight from VMEM, skipping the
-    (E, k, 3) HBM gather) and the XLA chunked top-k elsewhere; "xla" forces
-    the XLA path; "pallas_interpret" runs the coords kernel in interpreter
-    mode (CPU parity tests)."""
+    ``knn_impl``: "auto" uses the fully-fused Pallas lines kernel on TPU
+    (kNN + this whole line-fit gate in one kernel — the (E, k) neighbour
+    planes never leave VMEM) and the XLA chunked top-k elsewhere; "xla"
+    forces the XLA path; "pallas_coords" the coords-epilogue kernel + XLA
+    line fit; "pallas_interpret"/"pallas_lines_interpret" run the
+    respective kernels in interpreter mode (CPU parity tests)."""
     # Radius pruning is gate-exact: edges whose k-th NN exceeds
     # sqrt(max_sq_dist) are rejected either way (laser_odometry.cc:324).
+    if knn_impl == "auto":
+        # trace-time resolution; LIODOM_KNN_IMPL overrides the default TPU
+        # path (benchmarking / A-B runs without editing call sites).
+        # Default = the coords-epilogue kernel (hardware-swept r2 path); the
+        # fully-fused lines kernel is opt-in until its production-working-set
+        # numbers beat it (scripts/knn_sweep.py).
+        import os
+        knn_impl = os.environ.get("LIODOM_KNN_IMPL", "pallas_coords")
+    use_lines = (knn_impl == "pallas_lines_interpret" or
+                 (knn_impl == "pallas_lines"
+                  and jax.default_backend() == "tpu"))
+    if use_lines:
+        from liodom_tpu.ops.knn_pallas import knn_lines_pallas
+        lpa, lpb, ok = knn_lines_pallas(
+            edges_world, emask, map_pts, mmask, k=k,
+            max_sq_dist=float(max_sq_dist), eig_ratio=float(eig_ratio),
+            min_line_sep=float(min_line_sep),
+            ref_presorted=map_presorted,
+            interpret=(knn_impl == "pallas_lines_interpret"))
+        return LineCorrespondences(lpa, lpb, ok & emask)
     use_coords = (knn_impl == "pallas_interpret" or
-                  (knn_impl == "auto" and jax.default_backend() == "tpu"))
+                  (knn_impl == "pallas_coords"
+                   and jax.default_backend() == "tpu"))
     if use_coords:
         from liodom_tpu.ops.knn_pallas import knn_coords_pallas
         d2, near = knn_coords_pallas(

@@ -41,8 +41,13 @@ def initialize(coordinator: Optional[str] = None,
                   num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kw)
-    except RuntimeError as e:  # already initialised
-        if "already" not in str(e):
+    except RuntimeError as e:
+        # tolerated single-process cases: already initialised, or the
+        # backend was already touched (auto-init is then impossible but a
+        # coordinator-less run is single-process anyway)
+        if coordinator is not None:
+            raise
+        if "already" not in str(e) and "before" not in str(e):
             raise
     except ValueError:
         if coordinator is not None:

@@ -1,0 +1,63 @@
+"""E2E smokes for the two apps without dedicated tests (VERDICT r2 weak #4):
+
+* ``apps/run_ouster.py --synthetic`` — the Ouster-style organized-cloud
+  entry (the reference's liodom_ouster.launch:19-33 deployment), asserting
+  motion and the results-file contract;
+* ``liodom_tpu/parallel/launch.py`` single-process smoke — the multi-host
+  entry's mesh construction + sharded solve on the CPU test mesh.
+
+Both previously relied on manual runs; a regression shipped silently.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+APPS = os.path.join(os.path.dirname(__file__), "..", "apps")
+
+
+def _run_ouster(argv):
+    sys.path.insert(0, APPS)
+    import importlib
+    import run_ouster
+    importlib.reload(run_ouster)
+    old = sys.argv
+    sys.argv = ["run_ouster.py"] + argv
+    try:
+        return run_ouster.main()
+    finally:
+        sys.argv = old
+
+
+def test_run_ouster_synthetic_e2e(tmp_path, capsys):
+    res = tmp_path / "results"
+    rc = _run_ouster(["--synthetic", "--frames", "4", "--width", "256",
+                      "--local-map-size", "3", "--results-dir", str(res)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "scans/s" in out
+    # trajectory moved (drive_trajectory speed=1.0 over 4 frames)
+    poses = np.loadtxt(res / "poses.txt").reshape(-1, 3, 4)
+    assert poses.shape[0] == 4
+    assert np.isfinite(poses).all()
+    assert np.linalg.norm(poses[-1, :, 3]) > 0.1, "odometry did not move"
+    # the 5-file stats contract (stats.cc:97-131)
+    for name in ("feat_ext_times.txt", "laser_odom_times.txt",
+                 "nfeats.txt", "frame_times.txt"):
+        assert (res / name).exists(), name
+    nfeats = np.loadtxt(res / "nfeats.txt")
+    assert (nfeats > 50).all(), "edge extraction collapsed"
+
+
+def test_launch_single_process_smoke(monkeypatch, capsys):
+    """`python -m liodom_tpu.parallel.launch -- smoke` on this host: no
+    coordinator -> single process, mesh over all (virtual CPU) devices,
+    sharded solve must move (launch.py raises on a vacuous checksum)."""
+    from liodom_tpu.parallel import launch
+    monkeypatch.setattr(sys, "argv", ["launch.py", "smoke"])
+    rc = launch.main()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "smoke step OK" in out
+    assert "mesh=" in out

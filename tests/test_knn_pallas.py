@@ -227,3 +227,67 @@ def test_line_correspondences_coords_path_parity():
     exact = np.all(np.isclose(np.asarray(fused.lpa), np.asarray(ref.lpa),
                               atol=1e-5), axis=-1)[v_ref]
     assert exact.mean() > 0.9
+
+
+def test_line_correspondences_lines_path_parity():
+    """line_correspondences via the fully-fused lines kernel (kNN + line-fit
+    gate inside the kernel epilogue, interpret mode) must accept the same
+    edges as the XLA path with contract-equal endpoints — the round-3 TPU
+    hot path (laser_odometry.cc:318-362)."""
+    from liodom_tpu.ops.neighbors import line_correspondences
+    rng = np.random.default_rng(13)
+    bases = rng.uniform(-15, 15, (48, 3)).astype(np.float32)
+    t = np.linspace(-1.2, 1.2, 48, dtype=np.float32)
+    m = (bases[:, None, :]
+         + t[None, :, None] * np.array([0.3, 0, 1], np.float32)).reshape(-1, 3)
+    m = m + rng.standard_normal(m.shape).astype(np.float32) * 0.01
+    mj = jnp.asarray(m)
+    mm = jnp.asarray(rng.random(m.shape[0]) > 0.05)
+    e = jnp.asarray(m[::7] + rng.standard_normal(m[::7].shape)
+                    .astype(np.float32) * 0.04)
+    em = jnp.asarray(rng.random(e.shape[0]) > 0.1)
+    ref = line_correspondences(e, em, mj, mm, knn_impl="xla")
+    fused = line_correspondences(e, em, mj, mm,
+                                 knn_impl="pallas_lines_interpret")
+    v_ref = np.asarray(ref.valid)
+    v_fus = np.asarray(fused.valid)
+    assert v_ref.sum() > 10
+    np.testing.assert_array_equal(v_fus, v_ref)
+    en = np.asarray(e)
+
+    def d_to_edge(p):
+        return np.sum((en - p) ** 2, axis=-1)
+
+    for a, b in ((fused.lpa, ref.lpa), (fused.lpb, ref.lpb)):
+        a, b = np.asarray(a), np.asarray(b)
+        dmin = np.min(np.sum((a[v_ref][:, None, :] - m[None]) ** 2, -1), -1)
+        assert dmin.max() < 1e-8
+        np.testing.assert_allclose(d_to_edge(a)[v_ref], d_to_edge(b)[v_ref],
+                                   rtol=1e-3, atol=5e-3)
+    exact = np.all(np.isclose(np.asarray(fused.lpa), np.asarray(ref.lpa),
+                              atol=1e-5), axis=-1)[v_ref]
+    assert exact.mean() > 0.9
+
+
+def test_lines_path_empty_and_invalid():
+    """Degenerate inputs through the fused lines kernel: all-invalid ref,
+    all-invalid query, and too-few neighbours must gate everything out."""
+    from liodom_tpu.ops.knn_pallas import knn_lines_pallas
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-5, 5, (64, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-5, 5, (256, 3)).astype(np.float32))
+    ones_q = jnp.ones((64,), bool)
+    # all refs invalid -> nothing accepted
+    _, _, ok = knn_lines_pallas(q, ones_q, r, jnp.zeros((256,), bool),
+                                tile_e=32, tile_m=128, interpret=True)
+    assert not bool(np.asarray(ok).any())
+    # all queries invalid -> nothing accepted
+    _, _, ok = knn_lines_pallas(q, jnp.zeros((64,), bool), r,
+                                jnp.ones((256,), bool),
+                                tile_e=32, tile_m=128, interpret=True)
+    assert not bool(np.asarray(ok).any())
+    # fewer than k valid refs -> k-th distance stays _BIG -> gated out
+    few = jnp.asarray(np.arange(256) < 3)
+    _, _, ok = knn_lines_pallas(q, ones_q, r, few,
+                                tile_e=32, tile_m=128, interpret=True)
+    assert not bool(np.asarray(ok).any())
