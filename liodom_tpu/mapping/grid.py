@@ -210,7 +210,13 @@ def _probe_insert(tab1: jax.Array, tab2: jax.Array, k1: jax.Array,
     avoids the primary clustering that makes linear probe chains blow up
     past ~60% load.  Claim races resolve by lexicographic-min scatter, so
     the outcome is deterministic and duplicate codes converge on one slot.
-    Returns (tab1, tab2, slot (N,), claimed (N,), failed (N,)):
+
+    Probing one slot per iteration is deliberate: a windowed variant that
+    gathered 8 candidates per iteration (cutting the steady-state loop from
+    ~5 rounds to ~2) measured 46% SLOWER on TPU (2.1 -> 3.0 ms isolated) —
+    gather cost scales with total gathered elements, so one (N, 8) gather
+    costs more than five (N, 1) rounds.  Returns (tab1, tab2, slot (N,),
+    claimed (N,), failed (N,)):
     ``slot`` is each code's home (undefined where ``failed``), ``claimed``
     marks codes that created their slot this call."""
     n = tab1.shape[0]
