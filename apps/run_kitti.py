@@ -42,6 +42,9 @@ def main():
                     "odometer consumes the LAST received map, "
                     "laser_odometry.cc:276-279)")
     ap.add_argument("--filter-local-map", action="store_true")
+    ap.add_argument("--local-map-capacity", type=int, default=65536,
+                    help="received-local-map buffer rows (fixed-shape "
+                    "deployment sizing; truncation is counted and warned)")
     ap.add_argument("--scan-lines", type=int, default=64)
     ap.add_argument("--ring-width", type=int, default=2048)
     ap.add_argument("--results-dir", default=None)
@@ -84,7 +87,8 @@ def main():
         from liodom_tpu.mapping import init_combined
         from liodom_tpu.mapping.service import combined_image_step
         mcfg = MapConfig(voxel_xysize=40.0, voxel_zsize=50.0, resolution=0.4,
-                         cells_xy=3, cells_z=2)  # launch/liodom.launch:46-52
+                         cells_xy=3, cells_z=2,  # launch/liodom.launch:46-52
+                         local_map_capacity=args.local_map_capacity)
         state, mstate = init_combined(cfg, mcfg)
     else:
         state = P.init_state(cfg)

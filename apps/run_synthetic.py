@@ -50,6 +50,11 @@ def main():
                     "merge two laser rows into one ring, so this should be "
                     "~2x the azimuth width to avoid (counted) truncation")
     ap.add_argument("--local-map-size", type=int, default=5)
+    ap.add_argument("--local-map-capacity", type=int, default=65536,
+                    help="received-local-map buffer rows (fixed-shape "
+                    "deployment sizing; rows beyond the neighbourhood's "
+                    "n_hits are padding that still costs sort/kNN time — "
+                    "truncation is counted and warned)")
     ap.add_argument("--mapping", action="store_true",
                     help="fused odometry + hash-grid mapping with the "
                     "adaptive local-map feedback loop")
@@ -152,7 +157,7 @@ def main():
     if args.mapping:
         from liodom_tpu import MapConfig
         from liodom_tpu.mapping.service import combined_step, init_combined
-        mcfg = MapConfig()
+        mcfg = MapConfig(local_map_capacity=args.local_map_capacity)
         state, mstate = init_combined(cfg, mcfg)
 
         def step(st, raw, i):
