@@ -116,3 +116,29 @@ def test_local_map_cadence_reuses_stale_map():
         # normal operating mode): both runs stay close
         np.testing.assert_allclose(np.asarray(p2.t), np.asarray(p1.t),
                                    atol=0.05)
+
+
+def test_local_map_capacity_invariance():
+    """Right-sizing the received-map buffer is LOSSLESS while the
+    neighbourhood fits: the pose trajectory must be bit-equal across
+    local_map_capacity values when n_hits never exceeds the smaller one
+    (the property bench.py's 16384-row sizing rests on;
+    scripts/combined_capacity_sweep.py measured it on hardware)."""
+    from liodom_tpu.mapping.grid import get_local_map
+
+    n = 6
+    scans, _ = make_scans(n)
+    traj = {}
+    for cap in (1024, 4096):
+        mcfg = MCFG.replace(local_map_capacity=cap)
+        odom, mstate = init_combined(CFG, mcfg)
+        poses = []
+        for i in range(n):
+            odom, mstate, pose, _ = combined_step(
+                odom, mstate, scans[i].xyz, scans[i].valid, CFG, mcfg)
+            poses.append(np.asarray(pose.t))
+        _, _, n_hits = get_local_map(mstate, pose.t, mcfg, capacity=cap)
+        assert int(n_hits) <= 1024, "course outgrew the small buffer; " \
+            "shrink the scene so the invariance premise holds"
+        traj[cap] = np.concatenate(poses)
+    np.testing.assert_array_equal(traj[1024], traj[4096])
