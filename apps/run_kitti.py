@@ -188,7 +188,8 @@ def main():
                     and (i + 1) % args.viz_every == 0):
                 from liodom_tpu.runtime.viz import export_frame_debug
                 export_frame_debug(args.export_viz, i)
-        stats.add_laser_odometry_time(last_odom_ms)
+        stats.add_laser_odometry_time(
+            last_odom_ms, measured=timed or args.time_every <= 0)
         freq.tick_output(t=i * sensor_dt + (time.perf_counter() - t_start))
 
     wall = time.perf_counter() - t_start - (t_compile or 0.0)

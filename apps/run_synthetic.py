@@ -212,9 +212,20 @@ def main():
     if ring_dropped:
         print(f"WARNING: {ring_dropped} points dropped by the "
               f"ring_width={cfg.ring_width} clamp across the run")
-    if args.mapping and int(mstate.overflow):
-        print(f"WARNING: {int(mstate.overflow)} map points dropped at "
-              f"map_capacity={mcfg.map_capacity}")
+    if args.mapping:
+        if int(mstate.overflow):
+            print(f"WARNING: {int(mstate.overflow)} map points dropped at "
+                  f"map_capacity={mcfg.map_capacity}")
+        # Local-map truncation check (the help text promises counted-and-
+        # warned truncation): n_hits at the final pose vs the buffer rows,
+        # like run_kitti's end-of-run check.
+        from liodom_tpu.mapping.grid import get_local_map
+        _, _, n_hits = get_local_map(mstate, poses[-1].t, mcfg,
+                                     capacity=mcfg.local_map_capacity)
+        loc_ovf = max(int(n_hits) - mcfg.local_map_capacity, 0)
+        if loc_ovf:
+            print(f"WARNING: local map truncated by {loc_ovf} points at the "
+                  f"final pose (raise --local-map-capacity)")
 
     errs, rp_errs, axis_errs, est_ts = [], [], [], []
     for i, (p, ne) in enumerate(zip(poses, n_edges_all)):
@@ -232,7 +243,9 @@ def main():
         pub.publish(mat, stamp=i * 0.1)
         if stats is not None:
             stats.add_pose(mat)
-            stats.add_laser_odometry_time(mean_ms)
+            # run-level steady-state mean stamped on every row, not a
+            # per-frame sample -> carried (column 2 = 0)
+            stats.add_laser_odometry_time(mean_ms, measured=False)
             stats.add_feature_extraction_time(feat_ms)
             stats.add_num_feats(int(ne))
             stats.add_frame_time(mean_ms)

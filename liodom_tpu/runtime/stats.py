@@ -29,7 +29,12 @@ TRUE ingest->pose latency of that frame — and the untimed frames in
 between carry the most recent sample.  Row count still equals the frame
 count, and means/medians reflect real device latency (the reference writes
 real per-frame ms, stats.cc:97-131; a naive async timestamp would write
-~0.1 ms dispatch stubs instead).
+~0.1 ms dispatch stubs instead).  So per-row truth is self-describing,
+``laser_odom_times.txt`` carries a second column — 1 for a measured row,
+0 for a carried copy — plus a ``#``-prefixed header line; single-column
+tooling (``np.loadtxt(usecols=0)``) keeps working, and the reference's
+one-value-per-row layout is a strict subset (every reference row is
+"measured").
 ``frame_times`` pairs ``start_frame`` (scan ingest) with ``stop_frame``
 (pose fetched back to the host), exactly like the reference's queue pairing
 (stats.cc:55-71).
@@ -52,6 +57,7 @@ class Stats:
         self.poses: List[np.ndarray] = []
         self.feat_ext_times: List[float] = []
         self.laser_odom_times: List[float] = []
+        self.laser_odom_measured: List[int] = []  # 1 sampled, 0 carried
         self.num_feats: List[int] = []
         self.frame_times: List[float] = []
         self._frame_starts: List[float] = []
@@ -65,9 +71,15 @@ class Stats:
         with self._lock:
             self.feat_ext_times.append(float(ms))
 
-    def add_laser_odometry_time(self, ms: float) -> None:
+    def add_laser_odometry_time(self, ms: float, measured: bool = True
+                                ) -> None:
+        """``measured=False`` marks a carried copy of the last blocking
+        sample (the inter-sample rows of the ``--time-every`` contract);
+        the flag lands as the row's second column in
+        ``laser_odom_times.txt``."""
         with self._lock:
             self.laser_odom_times.append(float(ms))
+            self.laser_odom_measured.append(1 if measured else 0)
 
     def add_num_feats(self, n: int) -> None:
         with self._lock:
@@ -101,12 +113,19 @@ class Stats:
                 row = m[:3, :4].reshape(-1)
                 f.write(" ".join(f"{float(v):.9g}" for v in row) + "\n")
         for name, vals in (("feat_ext_times.txt", self.feat_ext_times),
-                           ("laser_odom_times.txt", self.laser_odom_times),
                            ("nfeats.txt", self.num_feats),
                            ("frame_times.txt", self.frame_times)):
             with open(path(name), "w") as f:
                 for v in vals:
                     f.write(f"{v}\n")
+        with open(path("laser_odom_times.txt"), "w") as f:
+            f.write("# ms measured  (measured: 1 = blocking-fetch sample of "
+                    "this frame, 0 = carried copy of the last sample; see "
+                    "runtime/stats.py sampling contract)\n")
+            flags = self.laser_odom_measured
+            for i, v in enumerate(self.laser_odom_times):
+                m = flags[i] if i < len(flags) else 1
+                f.write(f"{v} {m}\n")
 
 
 def load_kitti_poses(path: str) -> np.ndarray:

@@ -137,8 +137,12 @@ def test_local_map_capacity_invariance():
             odom, mstate, pose, _ = combined_step(
                 odom, mstate, scans[i].xyz, scans[i].valid, CFG, mcfg)
             poses.append(np.asarray(pose.t))
-        _, _, n_hits = get_local_map(mstate, pose.t, mcfg, capacity=cap)
-        assert int(n_hits) <= 1024, "course outgrew the small buffer; " \
-            "shrink the scene so the invariance premise holds"
+            # premise guard at EVERY frame (not just the last): a mid-run
+            # overflow would diverge the trajectories and fail the
+            # bit-equality below with a misleading message
+            _, _, n_hits = get_local_map(mstate, pose.t, mcfg, capacity=cap)
+            assert int(n_hits) <= 1024, \
+                f"course outgrew the small buffer at frame {i}; " \
+                "shrink the scene so the invariance premise holds"
         traj[cap] = np.concatenate(poses)
     np.testing.assert_array_equal(traj[1024], traj[4096])

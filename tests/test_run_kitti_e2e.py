@@ -65,7 +65,14 @@ def test_run_and_resume(tmp_path):
     # trajectory tracks ground truth loosely (synthetic, few frames)
     err = np.linalg.norm(est[:, :3, 3] - pos, axis=1)
     assert err.max() < 1.0, err
-    assert (res / "laser_odom_times.txt").exists()
+    # laser_odom_times self-describes measured vs carried rows: a header
+    # comment + a 0/1 second column, single-column loadtxt still works
+    lot_lines = (res / "laser_odom_times.txt").read_text().splitlines()
+    assert lot_lines[0].startswith("#") and "measured" in lot_lines[0]
+    lot = np.loadtxt(res / "laser_odom_times.txt")
+    assert lot.ndim == 2 and lot.shape[1] == 2
+    assert set(np.unique(lot[:, 1])) <= {0.0, 1.0}
+    assert lot[:, 1].max() == 1.0   # at least one real sample in the run
     assert (res / "nfeats.txt").exists()
     assert (viz / "trajectory.ply").exists()
 
