@@ -111,6 +111,36 @@ def main():
         "partial": "odometry-only; combined configs follow",
     }), flush=True)
 
+    remaining = lambda: BUDGET_S - (time.perf_counter() - t_start)
+
+    # --- deployed-config odometry: the reference's SHIPPED window is
+    # prev_frames=15 (launch/liodom.launch:23; params.cc:90-93 only
+    # defaults to 5) and run_kitti.py defaults to 15 too — so the headline
+    # number must exist for this window as well (VERDICT r3 #2).  Same
+    # scans, one extra compile (the window shape changes the program).
+    window15_per_s = None
+    if remaining() > 90.0:
+        cfg15 = cfg.replace(local_map_size=15)
+        state15 = P.init_state(cfg15)
+        for i in range(n_warm):
+            state15, pose15, _ = P.image_step(state15, scans[i][0],
+                                              scans[i][1], cfg15)
+        np.asarray(pose15.t)
+        t0 = time.perf_counter()
+        for i in range(n_warm, n_warm + n_bench):
+            state15, pose15, _ = P.image_step(state15, scans[i][0],
+                                              scans[i][1], cfg15)
+        np.asarray(pose15.t)
+        window15_per_s = n_bench / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "odometry_scans_per_s_window15",
+            "value": round(window15_per_s, 2),
+            "unit": "scans/s",
+            "vs_baseline": round(window15_per_s / BASELINE_SCANS_PER_S, 2),
+            "partial": "odometry-only at the deployed local_map_size=15 "
+                       "(launch/liodom.launch:23)",
+        }), flush=True)
+
     # --- fused odometry + mapping (liodom_node + liodom_mapping together).
     # ONE compiled program (local_map_every=4) serves both cadences:
     # step=0 every frame -> the cond always refreshes (per-message mapper);
@@ -156,7 +186,6 @@ def main():
     # persistent-cache hit but has been observed at 580+ s on a cold remote
     # compile; only enter each phase with clear headroom so a slow backend
     # degrades the artifact (skipped combined lines) instead of killing it.
-    remaining = lambda: BUDGET_S - (time.perf_counter() - t_start)
     combined_per_s = combined_async_per_s = None
     hits = None
     if remaining() > 60.0:
@@ -175,6 +204,46 @@ def main():
         # same compiled program — only the measurement loop remains
         combined_async_per_s, _ = combined_run(every_frame=False)
 
+    # --- multi-sequence batched odometry (VERDICT r3 #1): B independent
+    # sequences per step via the batched Pallas kernels (custom_vmap routes
+    # — knn_coords_pallas_batched, ring-folded select/smoothness).  Round 3
+    # ANTI-scaled (B=2 -> 0.75x aggregate, README dead end (b)); the honest
+    # ceiling now is ~linear aggregate: the per-sequence frame is VPU-
+    # compute-bound (the merge passes of the kNN kernel run near VPU peak;
+    # see scripts/batch_stage_probe.py + README), so batching removes the
+    # anti-scaling and the per-program overhead (~0.3 ms/frame), not the
+    # compute.  Lanes all replay the bench sequence — identical compute per
+    # lane, so aggregate scans/s is shape-honest.
+    batched_agg = {}
+    for bsz in (4, 8):
+        if remaining() <= 90.0:
+            break
+        from liodom_tpu.parallel.sharded import init_batch_state
+        states = init_batch_state(cfg, bsz)
+        imgs_b = [jnp.broadcast_to(scans[i][0], (bsz,) + scans[i][0].shape)
+                  for i in range(n_warm + n_bench)]
+        cnts_b = [jnp.broadcast_to(scans[i][1], (bsz,) + scans[i][1].shape)
+                  for i in range(n_warm + n_bench)]
+        for i in range(n_warm):
+            states, bposes, _ = P.batch_image_step(states, imgs_b[i],
+                                                   cnts_b[i], cfg)
+        np.asarray(bposes.t)
+        t0 = time.perf_counter()
+        for i in range(n_warm, n_warm + n_bench):
+            states, bposes, _ = P.batch_image_step(states, imgs_b[i],
+                                                   cnts_b[i], cfg)
+        np.asarray(bposes.t)
+        agg = bsz * n_bench / (time.perf_counter() - t0)
+        batched_agg[bsz] = agg
+        print(json.dumps({
+            "metric": f"batched_odometry_scans_per_s_B{bsz}",
+            "value": round(agg, 2),
+            "unit": "scans/s aggregate",
+            "vs_baseline": round(agg / BASELINE_SCANS_PER_S, 2),
+            "x_over_solo": round(agg / scans_per_s, 2),
+            "partial": f"{bsz} sequences per step, batched Pallas kernels",
+        }), flush=True)
+
     final = {
         "metric": "odometry_scans_per_s_1chip",
         "value": round(scans_per_s, 2),
@@ -187,6 +256,10 @@ def main():
                 "run in this environment. Per-stage device times: "
                 "BENCH_STAGES.json / bench_stages.py.",
     }
+    if window15_per_s is not None:
+        final["window15_scans_per_s"] = round(window15_per_s, 2)
+    for bsz, agg in batched_agg.items():
+        final[f"batched_B{bsz}_scans_per_s"] = round(agg, 2)
     if combined_per_s is not None:
         final["combined_scans_per_s"] = round(combined_per_s, 2)
         final["combined_vs_baseline"] = round(

@@ -43,7 +43,11 @@ def push(state: WindowState, xyz: jax.Array, valid: jax.Array) -> WindowState:
     the way in: edge slots arrive ring-scattered and mostly empty, and a
     front-packed layout lets the kNN kernel skip whole all-padding tiles
     (ops/knn_pallas.py per-tile validity prefetch).  Point set and relative
-    order are unchanged, so results are identical."""
+    order are unchanged, so results are identical.  (Round-4 note: sorting
+    each frame SPATIALLY here so the matching map could skip its global
+    per-frame sort was measured and rejected — per-frame segments overlap
+    in space, which doubles the kNN's prune-flagged tiles; see
+    odometry_step's map_presorted comment.)"""
     k = state.max_frames
     slot = state.next_slot
     order = jnp.argsort(~valid, stable=True)

@@ -129,6 +129,13 @@ def odometry_step(state: OdomState, edges: EdgeCloud, cfg: LiodomConfig,
         # passing ref_presorted to the kNN kernel halves its most expensive
         # wrapper step.  Point set unchanged; matching-map order carries no
         # semantics (the reference iterates PCL containers in storage order).
+        # MEASURED ALTERNATIVE (round 4, rejected): sorting each frame once
+        # at window push and skipping this global sort — per-frame segments
+        # overlap spatially (consecutive scans see the same scene), so kNN
+        # prune-flagged tiles nearly double (2.19 -> 3.09 ms per call at the
+        # bench working set) and the loss exceeds the sort's ~0.36 ms net
+        # cost twice over.  The GLOBAL sort is what merges the frames'
+        # co-located points into shared tiles; keep it.
         from liodom_tpu.ops.knn_pallas import spatial_sort_points
         map_xyz, map_valid = spatial_sort_points(map_xyz, map_valid)
         map_presorted = True
@@ -200,6 +207,14 @@ def batch_image_step(states: OdomState, imgs_xyz: jax.Array,
     fleet replay).  A degree of data parallelism the CPU reference has no
     analogue for (SURVEY.md §2); shard the batch over a mesh 'data' axis for
     multi-chip (parallel/sharded.py).
+
+    The hot Pallas kernels carry ``custom_vmap`` rules, so this vmap lowers
+    to DEDICATED batched kernels (batch folded into the Pallas grid:
+    ops/knn_pallas.knn_coords_pallas_batched; ring-folded select/smoothness
+    in ops/features) instead of JAX's default pallas batching, which fell
+    off the tuned Mosaic path (round 3 anti-scaled: B=2 aggregate BELOW
+    solo; round 4 measures ~linear aggregate — the frame is VPU-compute-
+    bound, see README and scripts/batch_sweep.py).
 
     states: OdomState with a leading batch dim (init via
     ``jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))`` or

@@ -258,16 +258,30 @@ def knn_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
 
 def _knn_coords_kernel(flags_ref, q_ref, r_ref, out_d_ref, out_x_ref,
                        out_y_ref, out_z_ref, best_d, best_x, best_y, best_z,
-                       *, k: int, tile_m: int):
+                       *, k: int, tile_m: int, batched: bool = False):
     """Like :func:`_knn_kernel`, but carries the neighbour COORDINATES through
     VMEM instead of indices.  The line-fit consumer (neighbors.
     line_correspondences) only ever uses ``ref[idx]`` — never ``idx`` itself
     (laser_odometry.cc:325-357 reads the neighbour points) — so emitting the
     coordinates here removes the (E, k, 3) HBM gather *and* both
-    index back-permutations from the wrapper."""
-    e_idx = pl.program_id(0)
-    m_idx = pl.program_id(1)
-    n_m = pl.num_programs(1)
+    index back-permutations from the wrapper.
+
+    ``batched``: the grid carries a leading batch axis (b, e, m) — each
+    batch element is an independent (query set, ref set) pair whose rows are
+    folded into the operand arrays (see :func:`knn_coords_pallas_batched`).
+    The compute body is identical; only grid-index decoding changes, and the
+    m axis stays innermost so the VMEM running-best scratch still carries
+    correctly across ref tiles of one (b, e) pair."""
+    if batched:
+        e_idx = pl.program_id(1)
+        m_idx = pl.program_id(2)
+        n_m = pl.num_programs(2)
+        flag_row = pl.program_id(0) * pl.num_programs(1) + e_idx
+    else:
+        e_idx = pl.program_id(0)
+        m_idx = pl.program_id(1)
+        n_m = pl.num_programs(1)
+        flag_row = e_idx
     tile_e = q_ref.shape[0]
 
     @pl.when(m_idx == 0)
@@ -278,7 +292,7 @@ def _knn_coords_kernel(flags_ref, q_ref, r_ref, out_d_ref, out_x_ref,
         best_y[:] = zero
         best_z[:] = zero
 
-    @pl.when(flags_ref[e_idx * n_m + m_idx] != 0)
+    @pl.when(flags_ref[flag_row * n_m + m_idx] != 0)
     def _():
         rx = jnp.broadcast_to(r_ref[0:1, :], (tile_e, tile_m))
         ry = jnp.broadcast_to(r_ref[1:2, :], (tile_e, tile_m))
@@ -414,6 +428,120 @@ def knn_coords_pallas(query: jax.Array, qmask: jax.Array, ref: jax.Array,
         inv_q = jnp.argsort(qperm)
         best_d = best_d[inv_q]
         coords = coords[inv_q]
+    return best_d, coords
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_e", "tile_m",
+                                             "interpret", "max_radius",
+                                             "sort_cell", "ref_presorted"))
+def knn_coords_pallas_batched(query: jax.Array, qmask: jax.Array,
+                              ref: jax.Array, rmask: jax.Array, k: int = 5,
+                              tile_e: int = 64, tile_m: int = 2048,
+                              interpret: bool = False,
+                              max_radius: float | None = None,
+                              sort_cell: float = 2.0,
+                              ref_presorted: bool = False
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """Batched :func:`knn_coords_pallas` over B independent (query, ref)
+    pairs, as ONE kernel launch with batch as the outermost grid axis:
+
+    query (B, E, 3), qmask (B, E), ref (B, M, 3), rmask (B, M) ->
+    (sq_dists (B, E, k), coords (B, E, k, 3)).
+
+    This is the multi-sequence scaling kernel (VERDICT r3 #1): ``vmap`` of
+    the single-sequence kernel falls off the tuned Mosaic path, so
+    ``neighbors.line_correspondences`` routes vmapped calls here via a
+    ``custom_vmap`` rule instead.  Grid = (B, n_e_tiles, n_m_tiles) — the m
+    axis stays innermost, so the VMEM running-best scratch carries exactly
+    as in the solo kernel; batch rows are folded into the operand arrays so
+    the kernel body is byte-for-byte the solo body.  Same radius-pruning
+    contract per batch element (each gets its own spatial sort + AABB pair
+    flags).  Ref anchor: SURVEY §2 "multi-sequence batch DP via vmap/mesh
+    data axis" — the degree of freedom the CPU reference lacks."""
+    b, e, m = query.shape[0], query.shape[1], ref.shape[1]
+    dtype = jnp.float32
+
+    if max_radius is not None:
+        qperm = jax.vmap(
+            lambda x, v: _spatial_order(x, v, cell=sort_cell))(query, qmask)
+        query = jnp.take_along_axis(query, qperm[:, :, None], axis=1)
+        qmask = jnp.take_along_axis(qmask, qperm, axis=1)
+        if not ref_presorted:
+            rperm = jax.vmap(
+                lambda x, v: _spatial_order(x, v, cell=sort_cell))(ref, rmask)
+            ref = jnp.take_along_axis(ref, rperm[:, :, None], axis=1)
+            rmask = jnp.take_along_axis(rmask, rperm, axis=1)
+
+    ref_enc = jnp.where(rmask[:, :, None], ref.astype(dtype),
+                        ref.astype(dtype) + 2.0 * _FAR)
+    e_pad = (-e) % tile_e
+    m_pad = (-m) % tile_m
+    q4 = jnp.pad(query.astype(dtype), ((0, 0), (0, e_pad), (0, 1)))
+    r4 = jnp.pad(ref_enc, ((0, 0), (0, m_pad), (0, 1)),
+                 constant_values=_FAR).transpose(0, 2, 1)   # (B, 4, Mp)
+    ep, mp = q4.shape[1], r4.shape[2]
+    n_e_tiles = ep // tile_e
+    n_m_tiles = mp // tile_m
+
+    qm_p = jnp.pad(qmask, ((0, 0), (0, e_pad)))
+    rm_p = jnp.pad(rmask, ((0, 0), (0, m_pad)))
+    qlo, qhi, qne = jax.vmap(lambda x, v: _tile_aabbs(x, v, tile_e))(
+        q4[:, :, :3], qm_p)
+    rlo, rhi, rne = jax.vmap(lambda x, v: _tile_aabbs(x, v, tile_m))(
+        r4.transpose(0, 2, 1)[:, :, :3], rm_p)
+    flags = jax.vmap(lambda a, bq, c, d, f, g: _pair_flags(
+        a, bq, c, d, f, g, max_radius))(
+        qlo, qhi, qne, rlo, rhi, rne).reshape(-1)   # (B * n_e * n_m,)
+
+    # fold batch into block-index arithmetic so the kernel body stays 2-D:
+    # queries stack along rows ((B*Ep, 4) — row-dim blocks of tile_e align
+    # per batch), refs stack along COLUMNS ((4, B*Mp) — the row dim must
+    # stay equal to the overall array's 4, per the Mosaic block rule that
+    # a sublane block dim be divisible by 8 or span the array)
+    q4f = q4.reshape(b * ep, 4)
+    r4f = r4.transpose(1, 0, 2).reshape(4, b * mp)
+
+    out_block = pl.BlockSpec(
+        (tile_e, _KPAD),
+        lambda bb, i, j, flags, n_e=n_e_tiles: (bb * n_e + i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_e_tiles, n_m_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_e, 4),
+                         lambda bb, i, j, flags, n_e=n_e_tiles: (
+                             bb * n_e + i, 0)),
+            pl.BlockSpec(
+                (4, tile_m),
+                lambda bb, i, j, flags, n_e=n_e_tiles, n_m=n_m_tiles: (
+                    0,
+                    bb * n_m + jnp.where(
+                        flags[(bb * n_e + i) * n_m + j] != 0, j, 0)),
+            ),
+        ],
+        out_specs=[out_block, out_block, out_block, out_block],
+        scratch_shapes=[pltpu.VMEM((tile_e, _KPAD), dtype)] * 4,
+    )
+    shape = jax.ShapeDtypeStruct((b * ep, _KPAD), dtype)
+    out_d, out_x, out_y, out_z = pl.pallas_call(
+        functools.partial(_knn_coords_kernel, k=k, tile_m=tile_m,
+                          batched=True),
+        grid_spec=grid_spec,
+        out_shape=[shape, shape, shape, shape],
+        interpret=interpret,
+    )(flags, q4f, r4f)
+
+    best_d = out_d.reshape(b, ep, _KPAD)[:, :e, :k]
+    coords = jnp.stack([out_x.reshape(b, ep, _KPAD)[:, :e, :k],
+                        out_y.reshape(b, ep, _KPAD)[:, :e, :k],
+                        out_z.reshape(b, ep, _KPAD)[:, :e, :k]], axis=-1)
+    best_d = jnp.where(best_d > _FAR_PICK_D2, _BIG, best_d)
+    best_d = jnp.where(qmask[:, :, None], best_d, _BIG)
+    best_d = jnp.maximum(best_d, 0.0)
+    if max_radius is not None:
+        inv_q = jnp.argsort(qperm, axis=1)
+        best_d = jnp.take_along_axis(best_d, inv_q[:, :, None], axis=1)
+        coords = jnp.take_along_axis(coords, inv_q[:, :, None, None], axis=1)
     return best_d, coords
 
 

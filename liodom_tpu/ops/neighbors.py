@@ -16,13 +16,54 @@ symmetric 3x3 eigenvalue solve instead of an iterative eigensolver.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _BIG = 1e30
+
+
+@lru_cache(maxsize=None)
+def _knn_coords_batchable(k: int, max_radius: float | None,
+                          ref_presorted: bool, interpret: bool):
+    """The coords kNN kernel wrapped with a ``custom_vmap`` rule: a direct
+    call is the solo Pallas kernel, while ``jax.vmap`` of it dispatches to
+    :func:`knn_pallas.knn_coords_pallas_batched` — batch folded into the
+    Pallas grid — instead of JAX's default pallas batching, which falls off
+    the tuned Mosaic path (measured round 3: batch=2 ANTI-scaled, 166
+    aggregate scans/s < 222 solo; the batched kernel is the fix, VERDICT r3
+    #1).  Cached per static-arg tuple so repeated traces reuse one object."""
+    from jax.custom_batching import custom_vmap
+    from liodom_tpu.ops.knn_pallas import (knn_coords_pallas,
+                                           knn_coords_pallas_batched)
+
+    @custom_vmap
+    def f(q, qm, r, rm):
+        return knn_coords_pallas(q, qm, r, rm, k=k, max_radius=max_radius,
+                                 ref_presorted=ref_presorted,
+                                 interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, q, qm, r, rm):
+        qb, qmb, rb, rmb = in_batched
+        # broadcast any unbatched operand (e.g. one map shared across the
+        # batch) so every element is an independent (query, ref) pair
+        if not qb:
+            q = jnp.broadcast_to(q, (axis_size,) + q.shape)
+        if not qmb:
+            qm = jnp.broadcast_to(qm, (axis_size,) + qm.shape)
+        if not rb:
+            r = jnp.broadcast_to(r, (axis_size,) + r.shape)
+        if not rmb:
+            rm = jnp.broadcast_to(rm, (axis_size,) + rm.shape)
+        d2, coords = knn_coords_pallas_batched(
+            q, qm, r, rm, k=k, max_radius=max_radius,
+            ref_presorted=ref_presorted, interpret=interpret)
+        return (d2, coords), (True, True)
+
+    return f
 
 
 def knn_auto(query, qmask, ref, rmask, k: int = 5, chunk: int = 4096,
@@ -211,12 +252,10 @@ def line_correspondences(edges_world: jax.Array, emask: jax.Array,
                   (knn_impl == "pallas_coords"
                    and jax.default_backend() == "tpu"))
     if use_coords:
-        from liodom_tpu.ops.knn_pallas import knn_coords_pallas
-        d2, near = knn_coords_pallas(
-            edges_world, emask, map_pts, mmask, k=k,
-            max_radius=float(max_sq_dist) ** 0.5,
-            ref_presorted=map_presorted,
-            interpret=(knn_impl == "pallas_interpret"))
+        knn_fn = _knn_coords_batchable(
+            k, float(max_sq_dist) ** 0.5, map_presorted,
+            knn_impl == "pallas_interpret")
+        d2, near = knn_fn(edges_world, emask, map_pts, mmask)
     else:
         d2, idx = knn(edges_world, emask, map_pts, mmask, k=k, chunk=chunk)
         near = map_pts[idx]                    # (E, k, 3)

@@ -48,9 +48,20 @@ def smoothness_pallas(img_xyz: jax.Array, count: jax.Array,
 
     Tiled over RINGS (rows are independent; the stencil runs along width),
     so VMEM use is bounded at any ring width — a monolithic (64, 4096)
-    block plus its shift temporaries overflows the ~16 MB scoped VMEM."""
+    block plus its shift temporaries overflows the ~16 MB scoped VMEM.
+    The ring-tile height adapts to the width: as tall as a ~14 MB budget
+    for ~24 live (tile_r, W) planes allows (Mosaic keeps the 11 rolled
+    copies plus accumulators on the VMEM stack — a (128, 2048) tile
+    measured 23.09 MB of scoped vmem).  Batched images fold B into the
+    ring axis — features._smoothness_tpu — so tall tiles keep the grid
+    short instead of walking B*64/8 tiny DMA-bound steps."""
     r, w = img_xyz.shape[0], img_xyz.shape[1]
-    tile_r = 8 if r % 8 == 0 else r
+    budget_rows = max(8, (14 * 1024 * 1024) // (24 * 4 * w))
+    tile_r = r
+    while tile_r > budget_rows or (tile_r > 8 and r % tile_r != 0):
+        tile_r //= 2
+    if r % tile_r != 0:
+        tile_r = r
     planes = jnp.moveaxis(img_xyz, -1, 0)  # (3, R, W)
     cnt = jnp.broadcast_to(count[:, None], (r, w)).astype(jnp.int32)
     row_spec = pl.BlockSpec((tile_r, w), lambda i: (i, 0))

@@ -166,3 +166,44 @@ def test_select_edges_budget():
     assert got_valid.sum() == len(want)
     got = np.asarray(edges.xyz).reshape(cfg.scan_lines, -1, 3)[0][got_valid]
     np.testing.assert_allclose(got, ring[want], atol=1e-5)
+
+
+def test_features_custom_vmap_ring_fold():
+    """The TPU smoothness/select custom_vmap rules (batch folded into the
+    ring axis) must match per-element solo kernel calls bit-for-bit
+    (interpret mode on CPU; rings are independent so the fold is exact)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from liodom_tpu import LiodomConfig
+    from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
+    from liodom_tpu.ops.features import _smoothness_tpu, _select_edges_tpu
+    from liodom_tpu.runtime import native
+
+    cfg = LiodomConfig(ring_width=512, scan_lines=64)
+    world = BoxWorld(seed=0)
+    pos, yaws = drive_trajectory(3, speed=1.0, yaw_rate=0.02)
+    imgs, cnts = [], []
+    for i in range(3):
+        pts = world.render(pos[i], yaw_matrix(yaws[i]), width=400,
+                           noise=0.005, seed=i)
+        img, cnt, _ = native.split_velodyne_np(
+            pts, cfg.scan_lines, cfg.ring_width, cfg.min_range,
+            cfg.max_range)
+        imgs.append(img)
+        cnts.append(cnt)
+    xb = jnp.asarray(np.stack(imgs))
+    cb = jnp.asarray(np.stack(cnts))
+
+    fs = _smoothness_tpu(interpret=True)
+    sm_b = jax.vmap(fs)(xb, cb)
+    fe = _select_edges_tpu(cfg, interpret=True)
+    ec_b = jax.vmap(fe)(xb, cb, sm_b)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(sm_b[i]),
+                                      np.asarray(fs(xb[i], cb[i])))
+        ec_s = fe(xb[i], cb[i], sm_b[i])
+        np.testing.assert_array_equal(np.asarray(ec_b.xyz[i]),
+                                      np.asarray(ec_s.xyz))
+        np.testing.assert_array_equal(np.asarray(ec_b.valid[i]),
+                                      np.asarray(ec_s.valid))

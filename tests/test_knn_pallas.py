@@ -291,3 +291,57 @@ def test_lines_path_empty_and_invalid():
     _, _, ok = knn_lines_pallas(q, ones_q, r, few,
                                 tile_e=32, tile_m=128, interpret=True)
     assert not bool(np.asarray(ok).any())
+
+
+def test_batched_kernel_matches_solo():
+    """knn_coords_pallas_batched (batch folded into the Pallas grid — the
+    multi-sequence scaling kernel, VERDICT r3 #1) must be bit-identical to
+    per-element solo kernel calls, with and without radius pruning."""
+    from liodom_tpu.ops.knn_pallas import (knn_coords_pallas,
+                                           knn_coords_pallas_batched)
+    rng = np.random.default_rng(7)
+    b, e, m = 3, 192, 3000
+    q = jnp.asarray((rng.standard_normal((b, e, 3)) * 10).astype(np.float32))
+    r = jnp.asarray((rng.standard_normal((b, m, 3)) * 10).astype(np.float32))
+    qm = jnp.asarray(rng.random((b, e)) > 0.2)
+    rm = jnp.asarray(rng.random((b, m)) > 0.2)
+    for mr in (None, 1.0):
+        d2b, cb = knn_coords_pallas_batched(q, qm, r, rm, k=5,
+                                            max_radius=mr, interpret=True)
+        for i in range(b):
+            d2s, cs = knn_coords_pallas(q[i], qm[i], r[i], rm[i], k=5,
+                                        max_radius=mr, interpret=True)
+            np.testing.assert_array_equal(np.asarray(d2b[i]),
+                                          np.asarray(d2s))
+            np.testing.assert_array_equal(np.asarray(cb[i]), np.asarray(cs))
+
+
+def test_custom_vmap_routes_to_batched_kernel():
+    """vmap of line_correspondences must produce per-element results equal
+    to the solo path (the custom_vmap rule dispatches to the batched
+    kernel; round 3's default pallas batching fell off the tuned path)."""
+    import jax
+    from liodom_tpu.ops.neighbors import line_correspondences
+    rng = np.random.default_rng(11)
+    b = 2
+    q = jnp.asarray((rng.standard_normal((b, 256, 3)) * 5).astype(np.float32))
+    qm = jnp.asarray(rng.random((b, 256)) > 0.1)
+    mp = jnp.asarray((rng.standard_normal((b, 4096, 3)) * 5)
+                     .astype(np.float32))
+    mm = jnp.asarray(rng.random((b, 4096)) > 0.1)
+    f = lambda a, c, d, g: line_correspondences(
+        a, c, d, g, knn_impl="pallas_interpret")
+    out_b = jax.vmap(f)(q, qm, mp, mm)
+    for i in range(b):
+        out_s = f(q[i], qm[i], mp[i], mm[i])
+        np.testing.assert_array_equal(np.asarray(out_b.valid[i]),
+                                      np.asarray(out_s.valid))
+        np.testing.assert_array_equal(np.asarray(out_b.lpa[i]),
+                                      np.asarray(out_s.lpa))
+        np.testing.assert_array_equal(np.asarray(out_b.lpb[i]),
+                                      np.asarray(out_s.lpb))
+    # unbatched map shared across the batch: the rule must broadcast
+    out_shared = jax.vmap(f, in_axes=(0, 0, None, None))(q, qm, mp[0], mm[0])
+    ref = f(q[1], qm[1], mp[0], mm[0])
+    np.testing.assert_array_equal(np.asarray(out_shared.valid[1]),
+                                  np.asarray(ref.valid))
