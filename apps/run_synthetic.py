@@ -55,6 +55,16 @@ def main():
                     "deployment sizing; rows beyond the neighbourhood's "
                     "n_hits are padding that still costs sort/kNN time — "
                     "truncation is counted and warned)")
+    ap.add_argument("--map-capacity", type=int, default=262144,
+                    help="hash-grid table rows; right-size to the course "
+                    "(~30%% load is the measured sweet spot — update_map "
+                    "pays C-sized decode passes while high load degrades "
+                    "the quadratic probe; scripts/map_capacity_sweep.py). "
+                    "Overflow is counted and warned")
+    ap.add_argument("--local-map-every", type=int, default=1,
+                    help="refresh the received local map every Nth frame — "
+                    "the reference's async-mapper cadence (second process, "
+                    "latched topic; liodom_mapping_node.cc:92-106)")
     ap.add_argument("--mapping", action="store_true",
                     help="fused odometry + hash-grid mapping with the "
                     "adaptive local-map feedback loop")
@@ -157,13 +167,15 @@ def main():
     if args.mapping:
         from liodom_tpu import MapConfig
         from liodom_tpu.mapping.service import combined_step, init_combined
-        mcfg = MapConfig(local_map_capacity=args.local_map_capacity)
+        mcfg = MapConfig(local_map_capacity=args.local_map_capacity,
+                         map_capacity=args.map_capacity)
         state, mstate = init_combined(cfg, mcfg)
 
         def step(st, raw, i):
             nonlocal mstate
             st, mstate, pose, ne = combined_step(
                 st, mstate, raw.xyz, raw.valid, cfg, mcfg,
+                step=i, local_map_every=args.local_map_every,
                 t_laser_base=t_laser_base)
             return st, pose, ne
     else:

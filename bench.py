@@ -67,7 +67,13 @@ def main():
     # a truncation emits a warning line — fixed-shape capacity planning is
     # a deployment decision, not a bench shortcut (the reference's
     # unbounded getLocalMap has no equivalent knob, map.cc:141-189).
-    mcfg = MapConfig(local_map_capacity=16384)
+    # map_capacity is right-sized the same way: the course occupies ~39k
+    # leaves and update_map pays C-sized elementwise decode passes, so
+    # 262144 -> 131072 (30% load) measured 128 -> 142 scans/s combined with
+    # BIT-EXACT pose parity and zero overflow (scripts/map_capacity_sweep.py;
+    # 65536 LOSES — 59% load degrades the quadratic probe).  Overflow is
+    # counted on-device and warned below.
+    mcfg = MapConfig(local_map_capacity=16384, map_capacity=131072)
     ccfg = cfg.replace(mapping=True)
     world = BoxWorld(seed=0)
     n_warm, n_bench = 6, 30
@@ -179,6 +185,12 @@ def main():
                 "warning": "local map truncated during combined bench",
                 "max_hits": n_hits,
                 "local_map_capacity": mcfg.local_map_capacity,
+            }), flush=True)
+        if int(cm.overflow) > 0:
+            print(json.dumps({
+                "warning": "map insert overflow during combined bench",
+                "overflow": int(cm.overflow),
+                "map_capacity": mcfg.map_capacity,
             }), flush=True)
         return n_bench / dt, n_hits
 

@@ -460,7 +460,17 @@ def get_local_map(state: MapState, position: jax.Array, cfg: MapConfig,
 
     The reference truncates the pose translation to ``int`` *before*
     quantising (map.cc:146-154) — replicated.  Works on either map layout
-    (hash slots or sorted rows) — membership is by stored cell key."""
+    (hash slots or sorted rows) — membership is by stored cell key.
+
+    Measured design record (round 4): maintaining per-cell slot lists at
+    insert so this gathers ~n_hits rows instead of touching C was declined
+    — the add side is a second per-frame probe-insert (the removed round-2
+    cell counter measured ~half of ``update_map``) against ~0.7 ms net
+    here; a ``top_k`` partial-selection compaction is within ±0.3 ms of
+    the argsort either way.  The lever that pays is sizing C itself:
+    ``update_map`` carries C-sized elementwise decode passes, so a
+    right-sized table (~30% load) wins — see
+    scripts/map_capacity_sweep.py and the README dead-end list."""
     c = state.xyz.shape[0]
     cap = capacity if capacity is not None else c
     base = cell_keys(jnp.trunc(position), cfg)             # (3,)

@@ -200,7 +200,11 @@ class GoldenPose:
     def transform(self, pts: np.ndarray) -> np.ndarray:
         if len(pts) == 0:
             return np.asarray(pts, np.float64)
-        return np.stack([golden_quat_rotate(self.q, p) for p in pts]) + self.t
+        # golden_quat_rotate broadcasts over (N, 3) with the identical
+        # per-element expression the scalar call evaluates (np.cross
+        # broadcasts), so this is bit-equal to the former per-point loop
+        return golden_quat_rotate(self.q, np.asarray(pts, np.float64)) \
+            + self.t
 
     def retract(self, delta: np.ndarray) -> "GoldenPose":
         dq = golden_so3_exp(delta[:3])
@@ -209,6 +213,18 @@ class GoldenPose:
 
 
 # ------------------------------------------------- whole-pipeline frame loop
+
+def _golden_stable_topk(d2, k):
+    """Exactly ``np.argsort(d2, kind="stable")[:k]`` via an O(M) partition:
+    take every index whose value <= the k-th smallest value (a superset of
+    the answer that includes all boundary ties), stable-sort only those, cut
+    to k.  ``np.flatnonzero`` returns ascending indices, so the stable sort
+    breaks value ties by lowest index — identical to the full stable
+    argsort.  (The full per-edge argsort was 40% of the oracle's runtime.)"""
+    kth = np.partition(d2, k - 1)[k - 1]
+    cand = np.flatnonzero(d2 <= kth)
+    return cand[np.argsort(d2[cand], kind="stable")][:k]
+
 
 def golden_line_correspondences(edges_world, window_pts, k=5,
                                 max_sq_dist=1.0, eig_ratio=3.0,
@@ -223,7 +239,7 @@ def golden_line_correspondences(edges_world, window_pts, k=5,
         return lpa, lpb, ok
     for i, p in enumerate(edges_world):
         d2 = np.sum((window_pts - p) ** 2, axis=1)
-        idx = np.argsort(d2, kind="stable")[:k]
+        idx = _golden_stable_topk(d2, k)
         if d2[idx[-1]] >= max_sq_dist:
             continue
         near = window_pts[idx]
@@ -266,6 +282,46 @@ def _golden_residual_jacobian(pose: GoldenPose, cp, lpa, lpb,
     return r, np.concatenate([dr_dtheta, dr_dt], axis=1)
 
 
+def _golden_residuals_jacobians(pose: GoldenPose, cps, lpas, lpbs,
+                                min_range, max_range):
+    """Vectorised :func:`_golden_residual_jacobian` over N correspondences
+    — the same per-element float64 expressions evaluated array-wise
+    (returns r (N, 3), J (N, 3, 6)).  Cross-checked element-for-element
+    against the sequential transcription in
+    test_golden_fastpaths.py; the per-edge original stays as the
+    transcription of record."""
+    cps = np.asarray(cps, np.float64)
+    lpas = np.asarray(lpas, np.float64)
+    lpbs = np.asarray(lpbs, np.float64)
+    n = len(cps)
+    u = golden_quat_rotate(pose.q, cps)               # (N, 3)
+    lp = u + pose.t
+    nu = np.cross(lp - lpas, lp - lpbs)
+    de = lpas - lpbs
+    de_norm = np.maximum(np.linalg.norm(de, axis=1), 1e-12)
+    f = nu / de_norm[:, None]
+    cp_l = cps - pose.t
+    d = np.sqrt(np.maximum(cp_l[:, 0] ** 2 + cp_l[:, 1] ** 2, 1e-12))
+    inv_span = 1.0 / (max_range - min_range)
+    w = 1.01 - (d - min_range) * inv_span
+    r = w[:, None] * f
+
+    def skew_many(v):
+        z = np.zeros(n)
+        return np.stack([
+            np.stack([z, -v[:, 2], v[:, 1]], axis=1),
+            np.stack([v[:, 2], z, -v[:, 0]], axis=1),
+            np.stack([-v[:, 1], v[:, 0], z], axis=1)], axis=1)  # (N, 3, 3)
+
+    df_dlp = skew_many(lpbs - lpas) / de_norm[:, None, None]
+    dr_dtheta = w[:, None, None] * (df_dlp @ (-skew_many(u)))
+    dw_dt = np.stack([cp_l[:, 0] / d * inv_span,
+                      cp_l[:, 1] / d * inv_span,
+                      np.zeros(n)], axis=1)
+    dr_dt = w[:, None, None] * df_dlp + f[:, :, None] * dw_dt[:, None, :]
+    return r, np.concatenate([dr_dtheta, dr_dt], axis=2)
+
+
 def _golden_huber_weight(s, delta):
     return 1.0 if s <= delta * delta else delta / math.sqrt(max(s, 1e-20))
 
@@ -276,30 +332,34 @@ def _golden_huber_cost(s, delta):
 
 
 def _golden_robust_cost(pose, cps, lpas, lpbs, min_range, max_range, delta):
-    c = 0.0
-    for cp, lpa, lpb in zip(cps, lpas, lpbs):
-        r, _ = _golden_residual_jacobian(pose, cp, lpa, lpb,
-                                         min_range, max_range)
-        c += _golden_huber_cost(float(r @ r), delta)
-    return 0.5 * c
+    r, _ = _golden_residuals_jacobians(pose, cps, lpas, lpbs,
+                                       min_range, max_range)
+    s = np.sum(r * r, axis=1)
+    d2 = delta * delta
+    costs = np.where(s <= d2, s,
+                     2.0 * delta * np.sqrt(np.maximum(s, 0.0)) - d2)
+    return 0.5 * float(np.sum(costs))
 
 
 def golden_lm_solve(pose: GoldenPose, cps, lpas, lpbs, *, min_range,
                     max_range, huber_delta=0.2, iters=4, init_lambda=1e-4):
     """Damped accept/reject LM over the tangent — the exact algorithm of
-    ops/solver.lm_solve, sequential float64."""
+    ops/solver.lm_solve, float64 (normal equations accumulated array-wise;
+    float64 reassociation noise ~1e-15, orders below every tolerance the
+    oracle is consumed at)."""
     lam = init_lambda
     cost = _golden_robust_cost(pose, cps, lpas, lpbs, min_range, max_range,
                                huber_delta)
     for _ in range(iters):
-        JtJ = np.zeros((6, 6))
-        Jtr = np.zeros(6)
-        for cp, lpa, lpb in zip(cps, lpas, lpbs):
-            r, J = _golden_residual_jacobian(pose, cp, lpa, lpb,
-                                             min_range, max_range)
-            wi = _golden_huber_weight(float(r @ r), huber_delta)
-            JtJ += wi * (J.T @ J)
-            Jtr += wi * (J.T @ r)
+        r, J = _golden_residuals_jacobians(pose, cps, lpas, lpbs,
+                                           min_range, max_range)
+        s = np.sum(r * r, axis=1)
+        d2 = huber_delta * huber_delta
+        wi = np.where(s <= d2, 1.0,
+                      huber_delta / np.sqrt(np.maximum(s, 1e-20)))
+        Jw = J * wi[:, None, None]
+        JtJ = np.einsum("nja,njb->ab", Jw, J)
+        Jtr = np.einsum("nja,nj->a", Jw, r)
         damped = JtJ + lam * np.diag(np.diag(JtJ)) + 1e-8 * np.eye(6)
         delta = np.linalg.solve(damped, -Jtr)
         cand = pose.retract(delta)

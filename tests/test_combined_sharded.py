@@ -75,3 +75,61 @@ def test_composed_combined_matches_single_device():
         jnp.sum(mstate.valid.astype(jnp.int32))) // batch)
     mono_valid = int(np.asarray(jnp.sum(m.valid.astype(jnp.int32))))
     assert total_valid == mono_valid
+
+
+def test_fully_sharded_image_step_matches_single_device():
+    """Round-4 fully-sharded composed step (ring-sliced features, per-shard
+    window ownership, shard-local feedback — no O(points) replicated stage)
+    vs the single-device fused combined_image_step on the same ring images."""
+    from liodom_tpu.mapping.service import combined_image_step, init_combined
+    from liodom_tpu.runtime import native
+
+    mesh = make_mesh(data=2, map_=4)
+    n_map = mesh.shape["map"]
+    mcfg = MCFG.replace(local_map_capacity=(
+        MCFG.local_map_capacity // n_map) * n_map)
+
+    world = BoxWorld(seed=0)
+    n_frames = 4
+    pos, yaws = drive_trajectory(n_frames, speed=0.8, yaw_rate=0.02)
+    img_frames = []
+    for f in range(n_frames):
+        scan = world.render(pos[f], yaw_matrix(yaws[f]), width=256,
+                            noise=0.005, seed=f)
+        img, counts, _ = native.split_velodyne_np(
+            scan.astype(np.float32), CFG.scan_lines, CFG.ring_width,
+            CFG.min_range, CFG.max_range)
+        img_frames.append((jnp.asarray(img), jnp.asarray(counts)))
+
+    step = C.make_sharded_combined_image_step(mesh, CFG, mcfg)
+    ostate, mstate = C.init_combined_image_sharded(CFG, mcfg, mesh)
+    batch = mesh.shape["data"]
+    for ix, ic in img_frames:
+        bx = jnp.broadcast_to(ix, (batch,) + ix.shape)
+        bc = jnp.broadcast_to(ic, (batch,) + ic.shape)
+        ostate, mstate, bpose = step(ostate, mstate, bx, bc)
+    bt = np.asarray(bpose.t)
+    assert np.isfinite(bt).all()
+    assert np.linalg.norm(bt[0]) > 0.3, f"composed pose did not move: {bt}"
+
+    co, cm = init_combined(CFG, mcfg)
+    for ix, ic in img_frames:
+        co, cm, pose, _ = combined_image_step(co, cm, ix, ic, CFG, mcfg)
+    st = np.asarray(pose.t)
+
+    err = float(np.linalg.norm(bt[0] - st))
+    assert err < 5e-3, f"fully-sharded vs single-device diverged: {err} m"
+    np.testing.assert_allclose(bt[0], bt[1], atol=1e-6)
+
+    # the sharded window union holds every frame the mono window holds
+    # (per-device slot ownership covers each global ring slot exactly once)
+    win_pts = int(np.asarray(jnp.sum(
+        ostate.win_valid[0].astype(jnp.int32))))
+    mono_pts = int(np.asarray(jnp.sum(
+        co.window.valid.astype(jnp.int32))))
+    assert win_pts == mono_pts
+    # sharded map union == mono map cells
+    total_valid = int(np.asarray(
+        jnp.sum(mstate.valid.astype(jnp.int32))) // batch)
+    mono_valid = int(np.asarray(jnp.sum(cm.valid.astype(jnp.int32))))
+    assert total_valid == mono_valid

@@ -24,7 +24,12 @@ from liodom_tpu.odometry import pipeline as P
 
 from golden import golden_frame_loop, golden_quat_conj, golden_quat_mul
 
-N_FRAMES = 22
+N_FRAMES = 20
+WIDTH = 560
+# Measured at exactly this config (one calibration run, CPU float64 oracle
+# vs the engine): per-frame divergence 0.3-4.9 mm, rot divergence <= 4.2e-4
+# rad, while BOTH trajectories end 1.56-1.57 m from ground truth.  The
+# asserts below hold those numbers with ~4x margin.
 
 
 def _quat_angle(qa, qb):
@@ -38,7 +43,7 @@ def test_6dof_drift_is_the_algorithms():
     world = BoxWorld(seed=5)
     pos, rots, _quats = drive_trajectory_6dof(N_FRAMES, speed=1.0,
                                               yaw_rate=0.03)
-    scans = [world.render(pos[i], rots[i], width=720, noise=0.01,
+    scans = [world.render(pos[i], rots[i], width=WIDTH, noise=0.01,
                           seed=500 + i) for i in range(N_FRAMES)]
 
     from golden import golden_ring_split
