@@ -64,6 +64,13 @@ def main():
                     help="directory for PLY exports (trajectory; per-frame "
                     "debug dumps every --viz-every frames)")
     ap.add_argument("--viz-every", type=int, default=0)
+    ap.add_argument("--aot", action="store_true",
+                    help="AOT warm start: load (or create) a serialized "
+                    "COMPILED executable for this config's step program — "
+                    "measured 8.4 s to first pose vs 190 s on the "
+                    "persistent-cache path (runtime/aot.py; blob is tied "
+                    "to jax version + backend + shapes, stale blobs fall "
+                    "back to jit)")
     args = ap.parse_args()
 
     from liodom_tpu import LiodomConfig, MapConfig
@@ -90,8 +97,33 @@ def main():
                          cells_xy=3, cells_z=2,  # launch/liodom.launch:46-52
                          local_map_capacity=args.local_map_capacity)
         state, mstate = init_combined(cfg, mcfg)
+
+        def step_comb(s, m, x, c, i):
+            return combined_image_step(
+                s, m, x, c, cfg, mcfg, step=i,
+                local_map_every=args.local_map_every)
     else:
         state = P.init_state(cfg)
+
+        def step_image(s, x, c):
+            return P.image_step(s, x, c, cfg)
+
+    if args.aot:
+        # swap the jitted step for an AOT-serialized executable (creating
+        # the blob on first use) — cuts the backend's first-execution path
+        # from minutes to seconds (runtime/aot.py measurements)
+        from liodom_tpu.runtime import aot
+        ex_img = jnp.zeros((cfg.scan_lines, cfg.ring_width, 3), jnp.float32)
+        ex_cnt = jnp.zeros((cfg.scan_lines,), jnp.int32)
+        if args.mapping:
+            step_comb = aot.get_or_compile(
+                "kitti_combined", step_comb,
+                (state, mstate, ex_img, ex_cnt, jnp.int32(0)),
+                extra=f"{cfg}|{mcfg}|every={args.local_map_every}")
+        else:
+            step_image = aot.get_or_compile(
+                "kitti_image_step", step_image, (state, ex_img, ex_cnt),
+                extra=str(cfg))
 
     stats = Stats()
     freq = FrequencyMonitor()
@@ -140,18 +172,19 @@ def main():
         # End-to-end frame latency pairing (stats.cc:55-71): start at ingest,
         # stop when the pose is fetched back to the host.
         stats.start_frame(t0)
-        jx, jc = jnp.asarray(img), jnp.asarray(counts)
+        # explicit dtypes: the AOT executable path is shape/dtype-strict
+        jx = jnp.asarray(img, jnp.float32)
+        jc = jnp.asarray(counts, jnp.int32)
         # Feature prep as seen by the consumer: loader dequeue + host->device
         # transfer.  The split itself runs in native prefetch threads and the
         # smoothness/selection on-device inside the fused step (see
         # runtime/stats.py notes on the five-file contract).
         stats.add_feature_extraction_time((time.perf_counter() - t0) * 1e3)
         if args.mapping:
-            state, mstate, pose, n_edges = combined_image_step(
-                state, mstate, jx, jc, cfg, mcfg, step=i,
-                local_map_every=args.local_map_every)
+            state, mstate, pose, n_edges = step_comb(
+                state, mstate, jx, jc, jnp.int32(i))
         else:
-            state, pose, n_edges = P.image_step(state, jx, jc, cfg)
+            state, pose, n_edges = step_image(state, jx, jc)
         timed = args.time_every > 0 and \
             (i - start_frame) % args.time_every == 0
         if timed:

@@ -83,6 +83,11 @@ def main():
     ap.add_argument("--diag-lines", action="store_true",
                     help="report accepted-correspondence line-direction "
                     "stats on the final frame (z-observability diagnostic)")
+    ap.add_argument("--raw-path", action="store_true",
+                    help="feed RAW scans and split on-device (full_step / "
+                    "combined_step) instead of the production loader-split "
+                    "image path — exercises the fused split at ~5 ms/frame "
+                    "extra (the split is normally the native loader's job)")
     args = ap.parse_args()
 
     from liodom_tpu import LiodomConfig
@@ -143,10 +148,24 @@ def main():
     # measures the device pipeline with poses fetched asynchronously — on
     # the tunneled dev TPU a per-frame fetch costs ~100 ms of pure RPC
     # latency, so blocking every frame measures the tunnel, not the engine.
-    scans = [RawScan.from_points(
-        jnp.array(world.render(pos[i], rots[i], width=args.width,
-                               noise=args.noise, seed=100 + i)),
-        cfg.max_points) for i in range(args.frames)]
+    renders = [world.render(pos[i], rots[i], width=args.width,
+                            noise=args.noise, seed=100 + i)
+               for i in range(args.frames)]
+    scans = [RawScan.from_points(jnp.array(r), cfg.max_points)
+             for r in renders]
+    # Production input path: ring routing is the LOADER's job (native C++
+    # split in prefetch threads, exactly like run_kitti/bench) — the
+    # on-device re-split of the raw path costs a max_points-row sort per
+    # frame (~5 ms at the 131072 default; measured round 4), which is the
+    # sensor/loader's work double-counted on the chip.  --raw-path keeps
+    # the legacy full_step route for its coverage.
+    if not args.raw_path:
+        from liodom_tpu.runtime import native
+        images = [native.split_velodyne(
+            np.asarray(r, np.float32), cfg.scan_lines, cfg.ring_width,
+            cfg.min_range, cfg.max_range) for r in renders]
+        images = [(jnp.asarray(im, jnp.float32), jnp.asarray(ct, jnp.int32))
+                  for im, ct, _ in images]
 
     # simulated IMU stream: ground-truth BASE orientation + noise
     imu_quats = None
@@ -166,27 +185,42 @@ def main():
 
     if args.mapping:
         from liodom_tpu import MapConfig
-        from liodom_tpu.mapping.service import combined_step, init_combined
+        from liodom_tpu.mapping.service import (combined_image_step,
+                                                combined_step, init_combined)
         mcfg = MapConfig(local_map_capacity=args.local_map_capacity,
                          map_capacity=args.map_capacity)
         state, mstate = init_combined(cfg, mcfg)
 
-        def step(st, raw, i):
-            nonlocal mstate
-            st, mstate, pose, ne = combined_step(
-                st, mstate, raw.xyz, raw.valid, cfg, mcfg,
-                step=i, local_map_every=args.local_map_every,
-                t_laser_base=t_laser_base)
-            return st, pose, ne
+        if args.raw_path:
+            def step(st, i):
+                nonlocal mstate
+                st, mstate, pose, ne = combined_step(
+                    st, mstate, scans[i].xyz, scans[i].valid, cfg, mcfg,
+                    step=i, local_map_every=args.local_map_every,
+                    t_laser_base=t_laser_base)
+                return st, pose, ne
+        else:
+            def step(st, i):
+                nonlocal mstate
+                st, mstate, pose, ne = combined_image_step(
+                    st, mstate, images[i][0], images[i][1], cfg, mcfg,
+                    step=i, local_map_every=args.local_map_every,
+                    t_laser_base=t_laser_base)
+                return st, pose, ne
     else:
-        def step(st, raw, i):
-            return P.full_step(st, raw.xyz, raw.valid, cfg,
-                               t_laser_base=t_laser_base)
+        if args.raw_path:
+            def step(st, i):
+                return P.full_step(st, scans[i].xyz, scans[i].valid, cfg,
+                                   t_laser_base=t_laser_base)
+        else:
+            def step(st, i):
+                return P.image_step(st, images[i][0], images[i][1], cfg,
+                                    t_laser_base=t_laser_base)
 
     def feed(st, i):
         if imu_quats is not None:
             st = P.set_imu(st, jnp.asarray(imu_quats[i]))
-        return step(st, scans[i], i)
+        return step(st, i)
 
     t0 = time.perf_counter()
     state, pose, n_edges = feed(state, 0)

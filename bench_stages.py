@@ -212,7 +212,13 @@ def main():
             "hbm_peak_fraction": round(knn_bytes / t_knn / PEAK_HBM, 3),
             "note": "VPU/HBM-bound (elementwise distances + top-k); MXU "
                     "fraction shown only to size the gap a matmul "
-                    "formulation would have to beat",
+                    "formulation would have to beat.  Round-4 direct "
+                    "measurement: the kernel's merge passes run at "
+                    "~0.38 us per (64x2176) masked-reduction pass over "
+                    "the flagged tiles (~2.3 Tops/s, near VPU peak) — "
+                    "the stage is genuinely VPU-compute-bound, so low "
+                    "MXU fraction must NOT be read as an idle chip "
+                    "(scripts/batch_sweep.py, README batching section)",
         },
         "lm_solve": {
             "flops": lm_flops,
