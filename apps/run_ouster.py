@@ -82,20 +82,30 @@ def main():
     pub = OdomPublisher(fixed_frame=cfg.fixed_frame,
                         base_frame=cfg.base_frame)
     stats = Stats()
+    # Production input path: the row split is the LOADER's job (rows are
+    # rings; host-side left-compaction in runtime.native.split_ouster_np,
+    # parity-tested against the on-device split_scan_ouster) — the fused
+    # step then starts at the smoothness kernel, like run_kitti/bench.
+    from liodom_tpu.runtime.native import split_ouster_np
+    images = [split_ouster_np(f, cfg.ring_width, cfg.min_range,
+                              cfg.max_range) for f in frames]
+    n_drop = sum(d for _, _, d in images)
+    if n_drop:
+        print(f"WARNING: {n_drop} points dropped by the "
+              f"ring_width={cfg.ring_width} clamp across the run")
     # Fetch poses after the loop: a per-frame host fetch costs ~70 ms of
     # pure tunnel RPC on the dev TPU and would measure the link, not the
     # engine (see run_synthetic).
-    jframes = [jnp.asarray(f) for f in frames]
+    jframes = [(jnp.asarray(im, jnp.float32), jnp.asarray(ct, jnp.int32))
+               for im, ct, _ in images]
     ts = time.perf_counter()
-    state, pose, n_edges = P.full_step(
-        state, jframes[0], jnp.ones((1,), bool), cfg)
+    state, pose, n_edges = P.image_step(state, *jframes[0], cfg)
     np.asarray(pose.t)
     t_compile = time.perf_counter() - ts
     results = [(pose, n_edges)]
     t0 = time.perf_counter()
-    for organized in jframes[1:]:
-        state, pose, n_edges = P.full_step(
-            state, organized, jnp.ones((1,), bool), cfg)
+    for im, ct in jframes[1:]:
+        state, pose, n_edges = P.image_step(state, im, ct, cfg)
         results.append((pose, n_edges))
     np.asarray(pose.t)  # host fetch = the only reliable barrier
     wall = time.perf_counter() - t0

@@ -480,17 +480,18 @@ def get_local_map(state: MapState, position: jax.Array, cfg: MapConfig,
     eq = jnp.all(state.key[:, None, :] == targets[None, :, :], axis=-1)
     hit = jnp.any(eq, axis=-1) & state.valid               # (C,)
     n_hits = jnp.sum(hit.astype(jnp.int32))
-    # compact hits to the front, preserving row order: sort hit rows (unique
-    # ascending row-index keys) ahead of a constant non-hit key, slice to
-    # capacity, gather.  Measured ~2x faster than a cumsum+scatter of all C
-    # rows on TPU (scatter cost scales with the update count, and the key
-    # sort is cheap).
-    key = jnp.where(hit, jnp.arange(c, dtype=jnp.uint32),
-                    jnp.uint32(1) << 31)
-    order = jnp.argsort(key)
+    # compact hits to the front, preserving row order: select the
+    # ``capacity`` smallest keys (hit rows keep their unique ascending row
+    # index, non-hits share a big constant) with top_k — a PARTIAL
+    # selection, measured 1.14 vs 1.70 ms for the full argsort at
+    # C=131072 with identical output (keys are unique over hits, so the
+    # tie-order of the shared non-hit key never reaches the output mask).
+    # A cumsum+scatter compaction of all C rows measured ~2x slower still.
+    key = jnp.where(hit, jnp.arange(c, dtype=jnp.int32),
+                    jnp.int32(1) << 30)
+    _, order = jax.lax.top_k(-key, min(cap, c))
     if cap > c:           # capacity can exceed the map row count
         order = jnp.pad(order, (0, cap - c))   # pad rows masked out below
-    order = order[:cap]
     out_valid = jnp.arange(cap, dtype=jnp.int32) < n_hits
     out_xyz = jnp.where(out_valid[:, None], state.xyz[order], 0.0)
     return out_xyz, out_valid, n_hits

@@ -141,6 +141,37 @@ def split_velodyne_np(pts: np.ndarray, scan_lines: int, ring_width: int,
     return img, counts, dropped
 
 
+def split_ouster_np(organized: np.ndarray, ring_width: int,
+                    min_range: float, max_range: float
+                    ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Host-side Ouster-mode split (the reference's ``lidar_type=1`` branch,
+    feature_extractor.cc:158-175): the cloud is row-organised, the row index
+    IS the ring; invalid points (non-finite or outside the XY range gate)
+    are dropped and rows are left-compacted preserving column order —
+    exactly ops/features.split_scan_ouster, evaluated in numpy float32 so
+    the loader does the sensor-side work (like :func:`split_velodyne_np`
+    for Velodyne mode).
+
+    organized: (rings, width0, 3) float32 with NaN rows for missing
+    returns.  Returns ((rings, ring_width, 3) image, counts, n_dropped)."""
+    organized = np.asarray(organized, np.float32)
+    h, w0, _ = organized.shape
+    x, y, z = organized[..., 0], organized[..., 1], organized[..., 2]
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+    d = np.sqrt((x * x + y * y).astype(np.float32), dtype=np.float32)
+    ok = finite & (d >= np.float32(min_range)) & (d <= np.float32(max_range))
+    img = np.zeros((h, ring_width, 3), np.float32)
+    counts = np.zeros((h,), np.int32)
+    dropped = 0
+    for r in range(h):
+        members = np.flatnonzero(ok[r])      # ascending -> order preserved
+        m = min(len(members), ring_width)
+        img[r, :m] = organized[r, members[:m], :3]
+        counts[r] = m
+        dropped += len(members) - m
+    return img, counts, dropped
+
+
 def split_velodyne(pts: np.ndarray, scan_lines: int, ring_width: int,
                    min_range: float, max_range: float
                    ) -> Tuple[np.ndarray, np.ndarray, int]:

@@ -130,3 +130,35 @@ def test_split_drop_accounting():
     cfg = LiodomConfig(scan_lines=64, ring_width=width, max_points=512)
     raw = RawScan.from_points(jnp.asarray(pts), cfg.max_points)
     assert int(split_overflow(raw, cfg)) == drop_np
+
+
+def test_ouster_np_matches_device_split():
+    """split_ouster_np (host loader path) must match the on-device
+    split_scan_ouster bit-for-bit: same compaction, same counts, same
+    validity gates (feature_extractor.cc:158-175)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from liodom_tpu import LiodomConfig
+    from liodom_tpu.ops.features import split_scan_ouster
+    from liodom_tpu.runtime.native import split_ouster_np
+
+    rng = np.random.default_rng(5)
+    h, w0 = 32, 256
+    organized = (rng.standard_normal((h, w0, 3)) * 20).astype(np.float32)
+    # sprinkle NaNs (missing returns) and close/far points
+    organized[rng.random((h, w0)) < 0.1] = np.nan
+    organized[rng.random((h, w0)) < 0.05] *= 0.01   # inside min_range
+    cfg = LiodomConfig(lidar_type=1, scan_lines=h, ring_width=128)
+
+    img_np, counts_np, dropped = split_ouster_np(
+        organized, cfg.ring_width, cfg.min_range, cfg.max_range)
+    dev = split_scan_ouster(jnp.asarray(organized), cfg)
+    np.testing.assert_array_equal(counts_np, np.asarray(dev.count))
+    np.testing.assert_array_equal(img_np, np.asarray(dev.xyz))
+    # drop accounting: exactly the valid points beyond the width clamp
+    # (both paths clamp identically; the count is the loader's to report)
+    from liodom_tpu.ops.features import valid_points
+    n_valid = int(np.asarray(valid_points(
+        jnp.asarray(organized.reshape(-1, 3)), cfg).sum()))
+    assert dropped == n_valid - int(counts_np.sum())
+    assert dropped > 0    # this scene must actually exercise the clamp
