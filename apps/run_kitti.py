@@ -24,6 +24,7 @@ from liodom_tpu.runtime.cache import enable_persistent_cache
 enable_persistent_cache()
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -46,8 +47,17 @@ def main():
                     help="received-local-map buffer rows (fixed-shape "
                     "deployment sizing; truncation is counted and warned)")
     ap.add_argument("--scan-lines", type=int, default=64)
-    ap.add_argument("--ring-width", type=int, default=2048)
+    ap.add_argument("--ring-width", type=int, default=0,
+                    help="padded points per ring; 0 (default) auto-sizes "
+                    "from the first scan so no routed point is ever dropped "
+                    "(the reference's ring vectors are unbounded, "
+                    "feature_extractor.cc:153-156)")
     ap.add_argument("--results-dir", default=None)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (lax.scan chaining; "
+                    "amortizes the ~1.1 ms dispatch floor — throughput up, "
+                    "pose latency = one chunk). Remainder frames fall back "
+                    "to the per-frame step (one extra compile)")
     ap.add_argument("--sync-every", type=int, default=50,
                     help="host sync cadence (frames); poses are fetched in "
                     "blocks to amortize device round-trips")
@@ -81,18 +91,32 @@ def main():
     from liodom_tpu.runtime.stats import Stats, ate_rmse, rpe
     from liodom_tpu.runtime import checkpoint as CK
 
+    seq = KittiSequence(args.root, args.seq)
+    ring_width = args.ring_width
+    if ring_width <= 0:
+        # auto-size from the first scan: max points routed to any ring,
+        # rounded up to a lane multiple — zero drops by construction (and
+        # re-checked per frame below, since later scans can be denser)
+        from liodom_tpu.runtime import native as _nat
+        probe = np.ascontiguousarray(seq.scan(0).astype(np.float32))
+        _, counts0, _ = _nat.split_velodyne_np(
+            probe, args.scan_lines, 16384, 3.0, 75.0)
+        ring_width = max(512, int(-(-int(counts0.max()) * 1.25 // 256)) * 256)
+        print(f"ring_width auto-sized to {ring_width} "
+              f"(first scan max ring occupancy {int(counts0.max())})")
     cfg = LiodomConfig(local_map_size=args.local_map_size,
                        scan_lines=args.scan_lines,
-                       ring_width=args.ring_width,
+                       ring_width=ring_width,
                        filter_local_map=args.filter_local_map,
                        mapping=args.mapping)
-    seq = KittiSequence(args.root, args.seq)
     n = len(seq) if args.frames is None else min(args.frames, len(seq))
     print(f"sequence {args.seq}: {n} scans, mapping={args.mapping}")
 
+    chunk = max(args.chunk, 1)
     if args.mapping:
         from liodom_tpu.mapping import init_combined
-        from liodom_tpu.mapping.service import combined_image_step
+        from liodom_tpu.mapping.service import (chained_combined_image_step,
+                                                combined_image_step)
         mcfg = MapConfig(voxel_xysize=40.0, voxel_zsize=50.0, resolution=0.4,
                          cells_xy=3, cells_z=2,  # launch/liodom.launch:46-52
                          local_map_capacity=args.local_map_capacity)
@@ -102,11 +126,19 @@ def main():
             return combined_image_step(
                 s, m, x, c, cfg, mcfg, step=i,
                 local_map_every=args.local_map_every)
+
+        def step_comb_chunk(s, m, xs, cs, i0):
+            return chained_combined_image_step(
+                s, m, xs, cs, cfg, mcfg, step0=i0,
+                local_map_every=args.local_map_every)
     else:
         state = P.init_state(cfg)
 
         def step_image(s, x, c):
             return P.image_step(s, x, c, cfg)
+
+        def step_image_chunk(s, xs, cs):
+            return P.chained_image_step(s, xs, cs, cfg)
 
     if args.aot:
         # swap the jitted step for an AOT-serialized executable (creating
@@ -115,7 +147,20 @@ def main():
         from liodom_tpu.runtime import aot
         ex_img = jnp.zeros((cfg.scan_lines, cfg.ring_width, 3), jnp.float32)
         ex_cnt = jnp.zeros((cfg.scan_lines,), jnp.int32)
-        if args.mapping:
+        if chunk > 1:
+            ex_imgs = jnp.zeros((chunk,) + ex_img.shape, jnp.float32)
+            ex_cnts = jnp.zeros((chunk,) + ex_cnt.shape, jnp.int32)
+            if args.mapping:
+                step_comb_chunk = aot.get_or_compile(
+                    "kitti_combined_chunk", step_comb_chunk,
+                    (state, mstate, ex_imgs, ex_cnts, jnp.int32(0)),
+                    extra=f"{cfg}|{mcfg}|every={args.local_map_every}"
+                          f"|chunk={chunk}")
+            else:
+                step_image_chunk = aot.get_or_compile(
+                    "kitti_image_chunk", step_image_chunk,
+                    (state, ex_imgs, ex_cnts), extra=f"{cfg}|chunk={chunk}")
+        elif args.mapping:
             step_comb = aot.get_or_compile(
                 "kitti_combined", step_comb,
                 (state, mstate, ex_img, ex_cnt, jnp.int32(0)),
@@ -155,6 +200,8 @@ def main():
 
     ring_dropped = 0          # points lost to the ring_width clamp (loader)
     last_odom_ms = float("nan")   # latest sampled device latency
+    cbuf = []                 # staged frames awaiting a chained dispatch
+    next_ck = start_frame + args.checkpoint_every
     scan_iter = seq.iter_images(cfg.scan_lines, cfg.ring_width,
                                 cfg.min_range, cfg.max_range)
     for i, (img, counts, n_drop) in enumerate(scan_iter):
@@ -180,28 +227,65 @@ def main():
         # smoothness/selection on-device inside the fused step (see
         # runtime/stats.py notes on the five-file contract).
         stats.add_feature_extraction_time((time.perf_counter() - t0) * 1e3)
-        if args.mapping:
-            state, mstate, pose, n_edges = step_comb(
-                state, mstate, jx, jc, jnp.int32(i))
-        else:
-            state, pose, n_edges = step_image(state, jx, jc)
         timed = args.time_every > 0 and \
             (i - start_frame) % args.time_every == 0
-        if timed:
-            # blocking fetch: the TRUE ingest->pose latency of THIS frame
-            # (all earlier dispatches have completed — in-order execution),
-            # sampled so steady-state pipelining survives (stats.cc:97-131
-            # writes real ms per frame; see runtime/stats.py for the
-            # sampling contract)
-            np.asarray(pose.t)
-            last_odom_ms = (time.perf_counter() - t0) * 1e3
-        elif args.time_every <= 0:
-            last_odom_ms = (time.perf_counter() - t0) * 1e3  # dispatch only
-        pending.append((pose, n_edges))
-        ck_due = (args.checkpoint_dir is not None
-                  and (i + 1) % args.checkpoint_every == 0)
+        if chunk == 1:
+            if args.mapping:
+                state, mstate, pose, n_edges = step_comb(
+                    state, mstate, jx, jc, jnp.int32(i))
+            else:
+                state, pose, n_edges = step_image(state, jx, jc)
+            if timed:
+                # blocking fetch: the TRUE ingest->pose latency of THIS
+                # frame (all earlier dispatches have completed — in-order
+                # execution), sampled so steady-state pipelining survives
+                # (stats.cc:97-131 writes real ms per frame; see
+                # runtime/stats.py for the sampling contract)
+                np.asarray(pose.t)
+                last_odom_ms = (time.perf_counter() - t0) * 1e3
+            elif args.time_every <= 0:
+                last_odom_ms = (time.perf_counter() - t0) * 1e3  # dispatch
+            pending.append((pose, n_edges))
+            flushed = True
+        else:
+            # chained mode: accumulate K frames, one lax.scan dispatch per
+            # chunk; the remainder tail falls back to the per-frame step
+            cbuf.append((jx, jc, i))
+            flushed = len(cbuf) == chunk or i == n - 1
+            timed = timed and flushed   # fetches only on chunk boundaries
+            if flushed:
+                t_c = time.perf_counter()
+                if len(cbuf) == chunk:
+                    xs = jnp.stack([b[0] for b in cbuf])
+                    cs = jnp.stack([b[1] for b in cbuf])
+                    if args.mapping:
+                        state, mstate, cposes, cnes = step_comb_chunk(
+                            state, mstate, xs, cs, jnp.int32(cbuf[0][2]))
+                    else:
+                        state, cposes, cnes = step_image_chunk(state, xs, cs)
+                    for kk in range(chunk):
+                        pending.append(
+                            (jax.tree.map(lambda a, kk=kk: a[kk], cposes),
+                             cnes[kk]))
+                else:
+                    for bx, bc, bi in cbuf:
+                        if args.mapping:
+                            state, mstate, p_, ne_ = step_comb(
+                                state, mstate, bx, bc, jnp.int32(bi))
+                        else:
+                            state, p_, ne_ = step_image(state, bx, bc)
+                        pending.append((p_, ne_))
+                pose = pending[-1][0]
+                if timed or args.time_every <= 0:
+                    np.asarray(pose.t)
+                    last_odom_ms = ((time.perf_counter() - t_c) * 1e3
+                                    / len(cbuf))
+                cbuf.clear()
+        ck_due = (args.checkpoint_dir is not None and flushed
+                  and (i + 1) >= next_ck)
         if (timed or (i + 1) % args.sync_every == 0
-                or i == n - 1 or ck_due):
+                or i == n - 1 or ck_due
+                or (flushed and t_compile is None)):
             for p_, ne_ in pending:
                 mat = np.asarray(p_.matrix(), np.float64)
                 stats.add_pose(mat)
@@ -211,12 +295,13 @@ def main():
                 stats.stop_frame(time.perf_counter())
             pending.clear()
             dt = time.perf_counter() - t0
-            if i == start_frame:
+            if t_compile is None and flushed:
                 t_compile = dt
             if ck_due:
                 CK.save(args.checkpoint_dir, i + 1, CK.EngineCheckpoint(
                     state, mstate if args.mapping else None,
                     np.stack(poses)[:, :3, :4], i + 1))
+                next_ck = i + 1 + args.checkpoint_every
             if (args.export_viz and args.viz_every
                     and (i + 1) % args.viz_every == 0):
                 from liodom_tpu.runtime.viz import export_frame_debug

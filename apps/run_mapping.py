@@ -38,7 +38,7 @@ def main():
                     "frame), e.g. from run_kitti --results-dir")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default=None, help="export directory (PLY)")
-    ap.add_argument("--ring-width", type=int, default=2048)
+    ap.add_argument("--ring-width", type=int, default=4096)
     # liodom_mapping.launch defaults: 20/25 m voxels (SURVEY.md §2)
     ap.add_argument("--voxel-xysize", type=float, default=20.0)
     ap.add_argument("--voxel-zsize", type=float, default=25.0)

@@ -61,7 +61,7 @@ def main():
     from liodom_tpu.runtime import native
     from liodom_tpu.core import pose as se3
 
-    cfg = LiodomConfig(local_map_size=5)
+    cfg = LiodomConfig(local_map_size=5, ring_width=2048)
     mcfg = MapConfig()
     ccfg = cfg.replace(mapping=True)
     world = BoxWorld(seed=0)

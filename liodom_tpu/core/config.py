@@ -64,7 +64,14 @@ class LiodomConfig:
 
     # --- TPU static-shape capacities (new; no reference equivalent) ---
     max_points: int = 131072        # padded raw scan capacity (KITTI HDL-64 ~ 120k pts)
-    ring_width: int = 2048          # padded points per ring after routing
+    # Padded points per ring after routing.  4096 is lossless for HDL-64
+    # scans (the reference's unbounded ring vectors never drop,
+    # feature_extractor.cc:153-156) and measured FREE on TPU relative to
+    # 2048 — the wider frame costs the same device time (README width
+    # sweep), while 2048 dropped ~4.7k pts/frame on the 6-DoF course.
+    # Apps can still right-size (run_kitti auto-sizes from the first scan;
+    # bench.py pins 2048 for its width-1800 renders, verified lossless).
+    ring_width: int = 4096
     # Derived edge capacity = scan_lines * scan_regions * (edges_per_region + 1).
     dtype: str = "float32"
 

@@ -118,6 +118,38 @@ def combined_image_step(odom_state: OdomState, map_state: MapState,
     return new_odom, map_state, pose, edges.num_valid()
 
 
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "local_map_every"))
+def chained_combined_image_step(odom_state: OdomState, map_state: MapState,
+                                imgs_xyz: jax.Array, imgs_count: jax.Array,
+                                cfg: LiodomConfig, mcfg: MapConfig,
+                                step0=0, local_map_every: int = 1,
+                                t_laser_base: Optional[Pose] = None
+                                ) -> Tuple[OdomState, MapState, Pose,
+                                           jax.Array]:
+    """K frames of the fused odometry+mapping loop per device dispatch —
+    ``lax.scan`` over the :func:`combined_image_step` body (see
+    odometry.pipeline.chained_image_step for the dispatch-floor rationale).
+
+    ``step0`` seeds the frame counter for the ``local_map_every`` cadence
+    (a traced operand — chunk k of a replay passes ``step0=k*K`` and the
+    async-mapper refresh pattern is identical to the unchained loop).
+
+    Returns (odom_state, map_state, poses (K, ...), n_edges (K,))."""
+
+    def body(carry, xc):
+        s, m, i = carry
+        x, c = xc
+        s2, m2, pose, ne = combined_image_step(
+            s, m, x, c, cfg, mcfg, step=i,
+            local_map_every=local_map_every, t_laser_base=t_laser_base)
+        return (s2, m2, i + 1), (pose, ne)
+
+    (odom_state, map_state, _), (poses, nedges) = jax.lax.scan(
+        body, (odom_state, map_state, jnp.asarray(step0, jnp.int32)),
+        (imgs_xyz, imgs_count))
+    return odom_state, map_state, poses, nedges
+
+
 def _odom_only(state: OdomState, edges, cfg: LiodomConfig,
                t_laser_base: Optional[Pose] = None):
     from liodom_tpu.odometry.pipeline import odometry_step

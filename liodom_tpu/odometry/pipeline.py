@@ -199,6 +199,40 @@ def full_step(state: OdomState, raw_xyz: jax.Array, raw_valid: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def chained_image_step(state: OdomState, imgs_xyz: jax.Array,
+                       imgs_count: jax.Array, cfg: LiodomConfig,
+                       t_laser_base: Optional[Pose] = None,
+                       ) -> Tuple[OdomState, Pose, jax.Array]:
+    """K frames per device dispatch: ``lax.scan`` over the image_step body.
+
+    Frames are sequentially dependent — each solves against the window the
+    previous frame pushed (laser_odometry.cc:231-235) — which is exactly
+    what ``lax.scan`` expresses: the K iterations run back-to-back on
+    device, so the per-dispatch host cost (~1.1 ms measured on the tunneled
+    backend, BENCH_STAGES.json ``_dispatch_floor``) is paid once per K
+    frames instead of once per frame.  Identical math to K successive
+    :func:`image_step` calls; poses match to float-reassociation tolerance
+    (asserted in tests/test_chained.py).
+
+    This trades pose LATENCY (a pose is only observable after its chunk
+    completes) for throughput — the offline-replay trade the reference
+    cannot make because its pipeline is host threads end-to-end.  Live
+    paced apps (apps/run_stream.py) keep the per-frame step.
+
+    ``imgs_xyz``: (K, R, W, 3); ``imgs_count``: (K, R).
+    Returns (state, poses stacked (K, ...), n_edges (K,))."""
+
+    def body(s, xc):
+        x, c = xc
+        s2, pose, ne = image_step(s, x, c, cfg, t_laser_base)
+        return s2, (pose, ne)
+
+    state, (poses, nedges) = jax.lax.scan(
+        body, state, (imgs_xyz, imgs_count))
+    return state, poses, nedges
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def batch_image_step(states: OdomState, imgs_xyz: jax.Array,
                      imgs_count: jax.Array, cfg: LiodomConfig
                      ) -> Tuple[OdomState, Pose, jax.Array]:

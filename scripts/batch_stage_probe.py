@@ -51,7 +51,7 @@ def main():
     from liodom_tpu.parallel.sharded import init_batch_state
     from liodom_tpu.runtime import native
 
-    cfg = LiodomConfig(local_map_size=5)
+    cfg = LiodomConfig(local_map_size=5, ring_width=2048)
     B = int(os.environ.get("B", "8"))
 
     world = BoxWorld(seed=0)

@@ -38,7 +38,7 @@ def main():
     from liodom_tpu.parallel.sharded import init_batch_state
     from liodom_tpu.runtime import native
 
-    cfg = LiodomConfig(local_map_size=5)
+    cfg = LiodomConfig(local_map_size=5, ring_width=2048)
     n_warm, n_bench = 5, 20
     n_frames = n_warm + n_bench
     max_b = 8

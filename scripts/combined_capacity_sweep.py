@@ -31,7 +31,7 @@ from liodom_tpu.runtime import native
 
 
 def main():
-    cfg = LiodomConfig(local_map_size=5, mapping=True)
+    cfg = LiodomConfig(local_map_size=5, mapping=True, ring_width=2048)
     world = BoxWorld(seed=0)
     n_warm, n_bench = 6, 30
     n = n_warm + n_bench

@@ -42,7 +42,7 @@ def main():
     from liodom_tpu.mapping.grid import init_map, update_map, get_local_map
     from liodom_tpu.core.pose import Pose
 
-    cfg = LiodomConfig(local_map_size=5)
+    cfg = LiodomConfig(local_map_size=5, ring_width=2048)
     mcfg = MapConfig()
     print("backend:", jax.default_backend(), flush=True)
 

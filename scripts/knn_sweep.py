@@ -49,7 +49,7 @@ def main():
     from liodom_tpu.core import pose as se3
 
     # ---- production working set: same capture as bench_stages.py ----
-    cfg = LiodomConfig(local_map_size=5)
+    cfg = LiodomConfig(local_map_size=5, ring_width=2048)
     world = BoxWorld(seed=0)
     n_frames = 8
     pos, yaws = drive_trajectory(n_frames, speed=1.2, yaw_rate=0.01)

@@ -30,7 +30,7 @@ from liodom_tpu.mapping.service import combined_image_step, init_combined
 from liodom_tpu.mapping import grid as G
 from liodom_tpu.runtime import native
 
-cfg = LiodomConfig(local_map_size=5).replace(mapping=True)
+cfg = LiodomConfig(local_map_size=5, ring_width=2048).replace(mapping=True)
 world = BoxWorld(seed=0)
 n_warm, n_bench = 6, 30
 pos, yaws = drive_trajectory(n_warm + n_bench, speed=1.2, yaw_rate=0.01)

@@ -162,7 +162,7 @@ def get_local_map_codes(state, position, cfg, capacity):
 
 
 def main():
-    cfg = LiodomConfig(local_map_size=5, mapping=True)
+    cfg = LiodomConfig(local_map_size=5, mapping=True, ring_width=2048)
     mcfg = MapConfig()
     world = BoxWorld(seed=0)
     n = 32

@@ -105,7 +105,7 @@ def fold_only(state_xyz, state_valid, slot, ok, new_xyz):
 
 
 def main():
-    cfg = LiodomConfig(local_map_size=5, mapping=True)
+    cfg = LiodomConfig(local_map_size=5, mapping=True, ring_width=2048)
     mcfg = MapConfig()
     world = BoxWorld(seed=0)
     n = 32

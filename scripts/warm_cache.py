@@ -38,7 +38,7 @@ def main():
     ex_cnt = jnp.zeros((64,), jnp.int32)
 
     for window in (5, 15):
-        cfg = LiodomConfig(local_map_size=window)
+        cfg = LiodomConfig(local_map_size=window, ring_width=2048)
         state = P.init_state(cfg)
         t0 = time.perf_counter()
         aot.get_or_compile(
@@ -48,7 +48,7 @@ def main():
         print(f"image_step window={window}: "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
 
-    cfg = LiodomConfig(local_map_size=15, mapping=True)
+    cfg = LiodomConfig(local_map_size=15, mapping=True, ring_width=2048)
     from liodom_tpu.mapping import init_combined
     from liodom_tpu.mapping.service import combined_image_step
     mcfg = MapConfig(voxel_xysize=40.0, voxel_zsize=50.0, resolution=0.4,

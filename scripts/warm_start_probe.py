@@ -44,7 +44,7 @@ from liodom_tpu.odometry import pipeline as P
 from liodom_tpu.runtime import native
 
 mode = os.environ["PHASE"]
-cfg = LiodomConfig(local_map_size=5)
+cfg = LiodomConfig(local_map_size=5, ring_width=2048)
 t_import = time.perf_counter()
 
 def host_loader_work():

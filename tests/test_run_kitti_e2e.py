@@ -90,6 +90,23 @@ def test_run_and_resume(tmp_path):
     np.testing.assert_allclose(est2[:, :3, 3], est[:, :3, 3], atol=5e-3)
 
 
+def test_run_chunked_matches_per_frame(tmp_path):
+    """--chunk K (chained lax.scan dispatch) reproduces the per-frame
+    trajectory, including the remainder-tail fallback (6 frames, chunk 4 ->
+    one chained dispatch + 2 per-frame steps)."""
+    _make_kitti(tmp_path)
+    res1 = tmp_path / "res_frame"
+    res2 = tmp_path / "res_chunk"
+    base = ["--root", str(tmp_path), "--seq", "00",
+            "--local-map-size", "3", "--ring-width", "512"]
+    assert _run(base + ["--results-dir", str(res1)]) == 0
+    assert _run(base + ["--results-dir", str(res2), "--chunk", "4"]) == 0
+    est1 = np.loadtxt(res1 / "poses.txt").reshape(-1, 3, 4)
+    est2 = np.loadtxt(res2 / "poses.txt").reshape(-1, 3, 4)
+    assert len(est2) == len(est1) == 6
+    np.testing.assert_allclose(est2[:, :3, 3], est1[:, :3, 3], atol=1e-4)
+
+
 def test_run_mapping_standalone(tmp_path):
     """apps/run_mapping.py: the second-process equivalent — build a map from
     edges + a poses.txt trajectory, export PLYs, report entropy."""
