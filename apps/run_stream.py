@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Paced live-stream deployment: the reference's ACTUAL runtime shape.
+
+The reference is a long-lived node fed by an asynchronous sensor callback
+through queues: the ROS spinner enqueues scans (liodom_node.cc:40-55,
+subscriber queue size 1 at :98-103 — late frames are DROPPED, newest kept),
+worker threads drain them (feature_extractor.cc:42-82,
+laser_odometry.cc:100-272), a second mapper process feeds back a local map
+on a latched topic (liodom_mapping_node.cc:81-87 -> liodom_node.cc:57-64),
+and a watchdog warns when output falls below 0.8x the input rate
+(laser_odometry.cc:253-256).
+
+This app reproduces that deployment shape end-to-end on the host runtime
+layer (runtime/channels.py — the SharedData parity components):
+
+* a SENSOR thread replays pre-rendered scans at wall-clock ``--rate`` Hz
+  into a bounded :class:`Channel` with ``offer_latest`` drop-oldest
+  semantics (``--queue-size`` defaults to the reference's 1);
+* the ENGINE (main thread) drains the channel, runs the compiled per-frame
+  step, and ticks the :class:`FrequencyMonitor` watchdog;
+* with ``--mapping``, a MAPPER thread mirrors the second process: it
+  consumes solved (edges, pose) frames from a second channel, maintains the
+  hash-grid map (mapping.service.MappingService), and publishes the local
+  map around the latest pose into a :class:`LatestValue` slot that the
+  engine merges before each solve (laser_odometry.cc:310-314) — the
+  feedback is stale by however far the mapper lags, exactly like the
+  latched-topic loop.
+
+Every lossy event is counted: channel drops, mapper-channel drops, map
+overflow, local-map truncation (the no-silent-caps contract).
+
+Usage:
+    python apps/run_stream.py --frames 100 --rate 10
+    python apps/run_stream.py --frames 60 --rate 200 --mapping  # overload
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from liodom_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--rate", type=float, default=10.0,
+                    help="sensor rate, Hz (KITTI Velodyne is 10)")
+    ap.add_argument("--queue-size", type=int, default=1,
+                    help="sensor channel capacity (liodom_node.cc:98 uses "
+                    "1: drop-oldest under lag)")
+    ap.add_argument("--world", choices=["box", "stream"], default="stream")
+    ap.add_argument("--width", type=int, default=1800)
+    ap.add_argument("--noise", type=float, default=0.01)
+    ap.add_argument("--speed", type=float, default=1.2, help="m/frame")
+    ap.add_argument("--yaw-rate", type=float, default=0.004)
+    ap.add_argument("--ring-width", type=int, default=2048)
+    ap.add_argument("--local-map-size", type=int, default=5)
+    ap.add_argument("--mapping", action="store_true",
+                    help="run the mapper thread + adaptive local-map "
+                    "feedback (the reference's second process)")
+    ap.add_argument("--local-map-every", type=int, default=4,
+                    help="mapper publish cadence in processed frames")
+    ap.add_argument("--map-capacity", type=int, default=131072)
+    ap.add_argument("--local-map-capacity", type=int, default=16384)
+    ap.add_argument("--engine-delay", type=float, default=0.0,
+                    help="artificial per-frame engine delay, s (test "
+                    "hook: induces lag so drops/watchdog can be exercised "
+                    "deterministically)")
+    ap.add_argument("--json", action="store_true",
+                    help="print a machine-readable summary line at the end")
+    args = ap.parse_args()
+
+    from liodom_tpu import LiodomConfig, MapConfig
+    from liodom_tpu.core.synth import (BoxWorld, StreamWorld,
+                                       drive_trajectory, yaw_matrix)
+    from liodom_tpu.odometry import pipeline as P
+    from liodom_tpu.runtime import native
+    from liodom_tpu.runtime.channels import (Channel, Closed,
+                                             FrequencyMonitor, LatestValue)
+    from liodom_tpu.runtime.publisher import OdomPublisher
+
+    cfg = LiodomConfig(local_map_size=args.local_map_size,
+                       ring_width=args.ring_width, mapping=args.mapping)
+    mcfg = MapConfig(local_map_capacity=args.local_map_capacity,
+                     map_capacity=args.map_capacity)
+
+    world = (StreamWorld(seed=0) if args.world == "stream"
+             else BoxWorld(seed=0))
+    pos, yaws = drive_trajectory(args.frames, speed=args.speed,
+                                 yaw_rate=args.yaw_rate)
+
+    # Pre-render + pre-split so the sensor thread's pacing is honest wall
+    # clock (rendering is the simulator's cost, not the sensor's).
+    scans = []
+    for i in range(args.frames):
+        r = world.render(pos[i], yaw_matrix(yaws[i]), width=args.width,
+                         noise=args.noise, seed=100 + i)
+        img, counts, n_drop = native.split_velodyne_np(
+            r.astype(np.float32), cfg.scan_lines, cfg.ring_width,
+            cfg.min_range, cfg.max_range)
+        scans.append((img, counts, n_drop))
+    ring_dropped = sum(s[2] for s in scans)
+
+    sensor_ch: Channel = Channel(maxsize=args.queue_size)
+    mapper_ch: Channel = Channel(maxsize=8)
+    local_map_slot: LatestValue = LatestValue()
+    freq = FrequencyMonitor()
+    warn_count = 0
+
+    def sensor():
+        """The ROS spinner: fixed-rate ingest, drop-oldest when full."""
+        period = 1.0 / args.rate
+        t_next = time.monotonic()
+        for i in range(args.frames):
+            t_next += period
+            dt = t_next - time.monotonic()
+            if dt > 0:
+                time.sleep(dt)
+            freq.tick_input()
+            sensor_ch.offer_latest((i, scans[i][0], scans[i][1]))
+        sensor_ch.close()
+
+    mapper_state = {"overflow": 0, "processed": 0, "loc_trunc": 0}
+
+    def mapper():
+        """The second process (liodom_mapping_node.cc:45-90): consume
+        solved frames, update the map, publish back the local map."""
+        from liodom_tpu.mapping.service import MappingService
+        svc = MappingService(mcfg)
+        k = 0
+        while True:
+            try:
+                wxyz, wvalid, p_t = mapper_ch.pop(timeout=5.0)
+            except (Closed, TimeoutError):
+                break
+            from liodom_tpu.core.pose import Pose
+            svc.update(wxyz, wvalid, Pose.identity())  # edges pre-transformed
+            k += 1
+            mapper_state["processed"] = k
+            if k % max(args.local_map_every, 1) == 0:
+                lx, lv = svc.local_map(p_t)
+                mapper_state["loc_trunc"] += svc.local_map_overflow(p_t)
+                local_map_slot.set((lx, lv))
+        mapper_state["overflow"] = int(svc.state.overflow)
+
+    state = P.init_state(
+        cfg, received_capacity=mcfg.local_map_capacity if args.mapping else 0)
+    pub = OdomPublisher(fixed_frame=cfg.fixed_frame,
+                        base_frame=cfg.base_frame,
+                        publish_tf=cfg.publish_tf)
+
+    # compile before the clock starts (the reference node also only
+    # subscribes once construction finished); AOT/persistent cache make
+    # this seconds, not minutes
+    s0, p0, _ = P.image_step(state, jnp.asarray(scans[0][0], jnp.float32),
+                             jnp.asarray(scans[0][1], jnp.int32), cfg)
+    np.asarray(p0.matrix())     # warm the pose-fetch path too (its own jit)
+
+    threads = [threading.Thread(target=sensor, name="sensor", daemon=True)]
+    if args.mapping:
+        threads.append(threading.Thread(target=mapper, name="mapper",
+                                        daemon=True))
+    for t in threads:
+        t.start()
+
+    processed, poses, frame_ids, step_ms = 0, [], [], []
+    t_start = time.monotonic()
+    while True:
+        try:
+            i, img, counts = sensor_ch.pop(timeout=2.0 + 2.0 / args.rate)
+        except (Closed, TimeoutError):
+            break
+        t_f = time.monotonic()
+        if args.mapping:
+            fresh = local_map_slot.take()
+            if fresh is not None:
+                state = P.set_received_map(state, fresh[0], fresh[1])
+        state, pose, n_edges = P.image_step(
+            state, jnp.asarray(img, jnp.float32),
+            jnp.asarray(counts, jnp.int32), cfg)
+        mat = np.asarray(pose.matrix())     # blocking: live pose-out
+        if args.engine_delay:
+            time.sleep(args.engine_delay)
+        if args.mapping:
+            slot = (int(state.window.next_slot) - 1) % cfg.local_map_size
+            mapper_ch.offer_latest((state.window.xyz[slot],
+                                    state.window.valid[slot], pose.t))
+        pub.publish(mat, stamp=time.monotonic() - t_start)
+        if freq.tick_output() is not None:
+            warn_count += 1
+        poses.append(mat)
+        frame_ids.append(i)
+        step_ms.append((time.monotonic() - t_f) * 1e3)
+        processed += 1
+    wall = time.monotonic() - t_start
+    if args.mapping:
+        mapper_ch.close()
+        threads[1].join(timeout=30.0)
+
+    # --- accounting: every frame is processed, queued or counted dropped
+    drops = sensor_ch.dropped
+    leftover = len(sensor_ch)
+    errs = [np.linalg.norm(poses[k][:3, 3] - pos[frame_ids[k]])
+            for k in range(processed)]
+    ate = float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan")
+    print(f"stream: {args.frames} frames at {args.rate:.0f} Hz -> "
+          f"{processed} processed, {drops} dropped (queue={args.queue_size},"
+          f" drop-oldest), {leftover} left; wall {wall:.1f} s")
+    print(f"watchdog warnings: {warn_count} "
+          f"(in {freq.input_hz():.1f} Hz, out {freq.output_hz():.1f} Hz)")
+    if step_ms:
+        print(f"engine step ms: median {np.median(step_ms):.0f}, "
+              f"max {max(step_ms):.0f}")
+    print(f"ATE over processed frames: {ate:.3f} m")
+    if ring_dropped:
+        print(f"WARNING: {ring_dropped} points dropped by the "
+              f"ring_width={cfg.ring_width} clamp")
+    if args.mapping:
+        print(f"mapper: {mapper_state['processed']} frames folded, "
+              f"{mapper_ch.dropped} frames dropped at the mapper channel, "
+              f"map overflow {mapper_state['overflow']}, local-map "
+              f"truncation {mapper_state['loc_trunc']}")
+    accounted = processed + drops + leftover
+    if args.json:
+        print(json.dumps({
+            "frames": args.frames, "processed": processed,
+            "dropped": drops, "leftover": leftover,
+            "accounted": accounted, "warn_count": warn_count,
+            "input_hz": round(freq.input_hz(), 2),
+            "output_hz": round(freq.output_hz(), 2),
+            "ate_m": None if np.isnan(ate) else round(ate, 4),
+            "mapper_processed": mapper_state["processed"],
+            "mapper_dropped": mapper_ch.dropped,
+            "map_overflow": mapper_state["overflow"],
+        }))
+    return 0 if accounted == args.frames else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -116,6 +116,78 @@ def smoke(mesh) -> float:
     return chk
 
 
+def combined_smoke(mesh) -> float:
+    """The FLAGSHIP multi-chip program — the fully-sharded composed
+    odometry+mapping step (parallel/combined.py: ring-sliced features,
+    per-shard window ownership, sharded kNN + psum'd LM, shard-local map
+    insert and feedback) — on this mesh topology, with per-process parity
+    against the single-device fused dataflow.  Returns a checksum every
+    process must agree on (SPMD).
+
+    This is the DCN-path coverage of the reference's actual two-process
+    deployment (launch/liodom.launch:39-57): run it under a 2-process
+    ``jax.distributed`` coordinator (tests/test_distributed_two_process.py)
+    and the mapper<->odometer loop executes across process boundaries."""
+    import jax.numpy as jnp
+    from liodom_tpu.core.config import LiodomConfig, MapConfig
+    from liodom_tpu.core.synth import BoxWorld, drive_trajectory, yaw_matrix
+    from liodom_tpu.mapping.service import combined_image_step, init_combined
+    from liodom_tpu.parallel import combined as CB
+    from liodom_tpu.runtime import native
+
+    batch, n_map = mesh.shape["data"], mesh.shape["map"]
+    n_dev = batch * n_map
+    cfg = LiodomConfig(max_points=16384, ring_width=256, local_map_size=3,
+                       mapping=True)
+    # sized so NO local-map truncation occurs: under truncation the mono
+    # path keeps row-order hits while shards keep their own cells, and the
+    # matched point SETS legitimately diverge (__graft_entry__ note)
+    mcfg = MapConfig(map_capacity=1024 * n_dev,
+                     local_map_capacity=(2048 // n_map) * n_map)
+
+    world = BoxWorld(seed=0)
+    n_frames = 3
+    pos, yaws = drive_trajectory(n_frames, speed=0.8, yaw_rate=0.02)
+    frames = []
+    for f in range(n_frames):
+        scan = world.render(pos[f], yaw_matrix(yaws[f]), width=256,
+                            noise=0.005, seed=f)
+        img, counts, _ = native.split_velodyne_np(
+            scan.astype(np.float32), cfg.scan_lines, cfg.ring_width,
+            cfg.min_range, cfg.max_range)
+        frames.append((img, counts))
+
+    step = CB.make_sharded_combined_image_step(mesh, cfg, mcfg)
+    st, ms = CB.init_combined_image_sharded(cfg, mcfg, mesh)
+    for img, counts in frames:
+        bx = jnp.broadcast_to(jnp.asarray(img, jnp.float32),
+                              (batch,) + img.shape)
+        bc = jnp.broadcast_to(jnp.asarray(counts, jnp.int32),
+                              (batch,) + counts.shape)
+        st, ms, cpose = step(st, ms, bx, bc)
+    # this process's data row (every row carries the same sequence)
+    t_sharded = np.asarray(
+        jax.tree.map(lambda x: x.addressable_data(0), cpose).t).reshape(3)
+
+    # per-process parity: the single-device fused combined dataflow on the
+    # same frames (mapping.service.combined_image_step)
+    co, cm = init_combined(cfg, mcfg)
+    for img, counts in frames:
+        co, cm, p1, _ = combined_image_step(
+            co, cm, jnp.asarray(img, jnp.float32),
+            jnp.asarray(counts, jnp.int32), cfg, mcfg)
+    t_mono = np.asarray(p1.t)
+    err = float(np.linalg.norm(t_sharded - t_mono))
+    if not np.isfinite(t_sharded).all():
+        raise RuntimeError(f"composed pose not finite: {t_sharded}")
+    if np.linalg.norm(t_sharded) < 0.3:
+        raise RuntimeError(f"composed pose did not move: {t_sharded}")
+    if err > 5e-3:
+        raise RuntimeError(
+            f"sharded combined diverged from single-device: {err} m")
+    return float(np.sum(np.abs(t_sharded)))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--coordinator", default=None,
@@ -125,7 +197,8 @@ def main() -> int:
     ap.add_argument("--data", type=int, default=None, help="mesh data axis")
     ap.add_argument("--map", dest="map_", type=int, default=None,
                     help="mesh map axis")
-    ap.add_argument("cmd", nargs="?", default="smoke", choices=["smoke"])
+    ap.add_argument("cmd", nargs="?", default="smoke",
+                    choices=["smoke", "combined-smoke"])
     args = ap.parse_args()
 
     initialize(args.coordinator, args.num_processes, args.process_id)
@@ -135,6 +208,9 @@ def main() -> int:
     if args.cmd == "smoke":
         chk = smoke(mesh)
         print(f"smoke step OK, checksum={chk:.6f}")
+    elif args.cmd == "combined-smoke":
+        chk = combined_smoke(mesh)
+        print(f"combined smoke OK, checksum={chk:.6f}")
     return 0
 
 

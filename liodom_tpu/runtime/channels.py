@@ -43,6 +43,7 @@ class Channel(Generic[T]):
         self._not_empty = threading.Condition(self._mu)
         self._not_full = threading.Condition(self._mu)
         self._closed = False
+        self.dropped = 0    # items evicted by offer_latest (counted loss)
 
     def push(self, item: T, timeout: Optional[float] = None) -> bool:
         with self._not_full:
@@ -71,6 +72,25 @@ class Channel(Generic[T]):
             item = self._q.popleft()
             self._not_full.notify()
             return item
+
+    def offer_latest(self, item: T) -> int:
+        """Non-blocking push with the ROS-subscriber drop-oldest semantics
+        the reference deploys with (liodom_node.cc:98-103 subscribes the
+        point-cloud topic with queue size 1): when the consumer lags, the
+        OLDEST queued frame is evicted and the newest kept.  Evictions are
+        counted in :attr:`dropped` — loss is the deployment's backpressure
+        policy, but it is never silent.  Returns the number evicted."""
+        with self._mu:
+            if self._closed:
+                raise Closed()
+            n = 0
+            while len(self._q) >= self._maxsize:
+                self._q.popleft()
+                n += 1
+            self._q.append(item)
+            self.dropped += n
+            self._not_empty.notify()
+            return n
 
     def close(self) -> None:
         with self._mu:

@@ -342,3 +342,30 @@ def test_local_map_capacity_exceeds_map_rows():
                                   capacity=1024)
     assert xyz.shape == (1024, 3) and valid.shape == (1024,)
     assert int(valid.sum()) == int(n) > 0
+
+
+def test_sparse_epilogue_matches_update_map():
+    """The measured-rejected O(E) epilogue (kept as a documented variant)
+    stays semantically identical to update_map: same point sets, same
+    keys/valid, same overflow over a multi-frame sequence."""
+    from liodom_tpu.mapping.grid import update_map_sparse_epilogue
+
+    rng = np.random.default_rng(21)
+    mcfg = MapConfig(map_capacity=8192, local_map_capacity=4096)
+    a = init_map(mcfg.map_capacity)
+    b = init_map(mcfg.map_capacity)
+    for i in range(6):
+        pts = jnp.asarray(
+            rng.normal(size=(500, 3)) * np.array([30, 30, 5]), jnp.float32)
+        valid = jnp.asarray(rng.random(500) > 0.1)
+        pose = _rand_pose(rng, i)
+        a = update_map(a, pts, valid, pose, mcfg)
+        b = update_map_sparse_epilogue(b, pts, valid, pose, mcfg)
+        # identical layout too: both share the probe-table slot assignment
+        assert np.array_equal(np.asarray(a.valid), np.asarray(b.valid)), i
+        va = np.asarray(a.valid)
+        assert np.allclose(np.asarray(a.xyz)[va], np.asarray(b.xyz)[va],
+                           atol=1e-5), i
+        assert np.array_equal(np.asarray(a.key)[va],
+                              np.asarray(b.key)[va]), i
+        assert int(a.overflow) == int(b.overflow), i
