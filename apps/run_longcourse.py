@@ -170,9 +170,11 @@ def main():
             pose_buf.append(pose)
             if (i + 1) % 50 == 0 or i == n - 1 or i == 0:
                 flush_poses()
-        engine_s += time.perf_counter() - t0
+        dt0 = time.perf_counter() - t0
         if t_compile is None and poses:
             t_compile = time.perf_counter() - t_start
+        else:
+            engine_s += dt0     # engine time excl. the compile frame
         if (i + 1) % args.sample_every == 0 or i == n - 1:
             flush_poses()
             p_t = jnp.asarray(poses[-1][:3, 3], jnp.float32) \

@@ -192,6 +192,43 @@ def main():
                        "(launch/liodom.launch:23)",
         }), flush=True)
 
+    # --- Ouster-mode odometry (liodom_ouster.launch:19-33): row-organized
+    # clouds, loader-split via split_ouster_np (rows ARE rings,
+    # feature_extractor.cc:158-175).  Same device program shape as the
+    # Velodyne path (the split is the loader's job), but its own compile:
+    # cfg carries lidar_type=1.  BoxWorld renders ring-major, so a reshape
+    # IS the organized cloud an Ouster driver emits (apps/run_ouster.py).
+    ouster_per_s = None
+    if remaining() > 120.0:
+        ocfg = cfg.replace(lidar_type=1, laser_frame="")
+        oscans = []
+        for i in range(n_warm + n_bench):
+            org = world.render(pos[i], yaw_matrix(yaws[i]), width=1800,
+                               noise=0.01, seed=i).reshape(64, 1800, 3)
+            img, counts, n_drop = native.split_ouster_np(
+                org, ocfg.ring_width, ocfg.min_range, ocfg.max_range)
+            assert n_drop == 0
+            oscans.append((jnp.asarray(img), jnp.asarray(counts)))
+        ostate = P.init_state(ocfg)
+        for i in range(n_warm):
+            ostate, opose, _ = P.image_step(ostate, oscans[i][0],
+                                            oscans[i][1], ocfg)
+        np.asarray(opose.t)
+        t0 = time.perf_counter()
+        for i in range(n_warm, n_warm + n_bench):
+            ostate, opose, _ = P.image_step(ostate, oscans[i][0],
+                                            oscans[i][1], ocfg)
+        np.asarray(opose.t)
+        ouster_per_s = n_bench / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "ouster_scans_per_s",
+            "value": round(ouster_per_s, 2),
+            "unit": "scans/s",
+            "vs_baseline": round(ouster_per_s / BASELINE_SCANS_PER_S, 2),
+            "partial": "Ouster-mode (lidar_type=1, organized rows, "
+                       "loader-split), odometry-only",
+        }), flush=True)
+
     # --- fused odometry + mapping (liodom_node + liodom_mapping together).
     # ONE compiled program (local_map_every=4) serves both cadences:
     # step=0 every frame -> the cond always refreshes (per-message mapper);
@@ -378,6 +415,8 @@ def main():
         final["window15_scans_per_s"] = round(window15_per_s, 2)
     if chained_per_s is not None:
         final["chained_scans_per_s"] = round(chained_per_s, 2)
+    if ouster_per_s is not None:
+        final["ouster_scans_per_s"] = round(ouster_per_s, 2)
     if combined_chained_per_s is not None:
         final["combined_chained_scans_per_s"] = round(
             combined_chained_per_s, 2)

@@ -50,6 +50,35 @@ def test_run_ouster_synthetic_e2e(tmp_path, capsys):
     assert (nfeats > 50).all(), "edge extraction collapsed"
 
 
+def test_run_ouster_chunked_and_resume(tmp_path, capsys):
+    """--chunk chained dispatch reproduces the per-frame trajectory, and a
+    checkpoint written mid-run resumes to the same poses (production
+    parity with run_kitti, VERDICT r4 #8)."""
+    res1 = tmp_path / "r1"
+    res2 = tmp_path / "r2"
+    base = ["--synthetic", "--frames", "6", "--width", "256",
+            "--local-map-size", "3"]
+    assert _run_ouster(base + ["--results-dir", str(res1)]) == 0
+    assert _run_ouster(base + ["--results-dir", str(res2),
+                               "--chunk", "4"]) == 0
+    p1 = np.loadtxt(res1 / "poses.txt").reshape(-1, 3, 4)
+    p2 = np.loadtxt(res2 / "poses.txt").reshape(-1, 3, 4)
+    assert len(p1) == len(p2) == 6
+    np.testing.assert_allclose(p2[:, :, 3], p1[:, :, 3], atol=1e-4)
+
+    ck = tmp_path / "ck"
+    res3 = tmp_path / "r3"
+    assert _run_ouster(base + ["--checkpoint-dir", str(ck),
+                               "--checkpoint-every", "4"]) == 0
+    from liodom_tpu.runtime import checkpoint as CK
+    assert CK.latest_step(str(ck)) == 4
+    assert _run_ouster(base + ["--checkpoint-dir", str(ck),
+                               "--results-dir", str(res3)]) == 0
+    p3 = np.loadtxt(res3 / "poses.txt").reshape(-1, 3, 4)
+    assert len(p3) == 6
+    np.testing.assert_allclose(p3[:, :, 3], p1[:, :, 3], atol=5e-3)
+
+
 def test_launch_single_process_smoke(monkeypatch, capsys):
     """`python -m liodom_tpu.parallel.launch -- smoke` on this host: no
     coordinator -> single process, mesh over all (virtual CPU) devices,
