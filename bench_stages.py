@@ -61,7 +61,7 @@ def main():
     from liodom_tpu.runtime import native
     from liodom_tpu.core import pose as se3
 
-    cfg = LiodomConfig(local_map_size=5, ring_width=2048)
+    cfg = LiodomConfig(local_map_size=5)   # lossless 4096 default, matching bench.py r5+
     mcfg = MapConfig()
     ccfg = cfg.replace(mapping=True)
     world = BoxWorld(seed=0)
@@ -187,6 +187,10 @@ def main():
     # honest anchors are HBM bytes streamed and the elementwise FLOP rate.
     PEAK_MXU_BF16 = 197e12
     PEAK_HBM = 819e9
+    # VPU f32 anchor (VERDICT r4 #2): 8x128 lanes x 4 ALUs x 0.94 GHz,
+    # counting 1 op/ALU/cycle — the right peak for the kNN kernel's
+    # compare/select merge passes (no FMA credit).  3.85e12 ops/s.
+    PEAK_VPU_F32 = 8 * 128 * 4 * 0.94e9
     E = cfg.max_edges                       # queries
     M = cfg.local_map_size * cfg.max_edges  # window reference points
     # distances: 3 sub + 3 mul + 2 add = 8 flop per (query, ref) pair; the
@@ -210,15 +214,24 @@ def main():
             "hbm_bytes": knn_bytes,
             "achieved_hbm_gbps": round(knn_bytes / t_knn / 1e9, 1),
             "hbm_peak_fraction": round(knn_bytes / t_knn / PEAK_HBM, 3),
+            "vpu_f32_peak_fraction_merge_passes": round(2.3e12
+                                                        / PEAK_VPU_F32, 2),
             "note": "VPU/HBM-bound (elementwise distances + top-k); MXU "
                     "fraction shown only to size the gap a matmul "
                     "formulation would have to beat.  Round-4 direct "
                     "measurement: the kernel's merge passes run at "
                     "~0.38 us per (64x2176) masked-reduction pass over "
-                    "the flagged tiles (~2.3 Tops/s, near VPU peak) — "
-                    "the stage is genuinely VPU-compute-bound, so low "
-                    "MXU fraction must NOT be read as an idle chip "
-                    "(scripts/batch_sweep.py, README batching section)",
+                    "the flagged tiles (~2.3 Tops/s = ~60% of the VPU "
+                    "f32 anchor) — the stage is genuinely VPU-compute-"
+                    "bound, so low MXU fraction must NOT be read as an "
+                    "idle chip.  Round-5 trace evidence (BATCH_TRACE."
+                    "json, scripts/batch_trace_analysis.py): at B=8 the "
+                    "DEVICE-BUSY time is 10.3x solo (kNN op 8.4x, "
+                    "lockstep LM while 15x) — the batched program "
+                    "executes B serialized per-sequence grids, so flat "
+                    "aggregate is device-work scaling, not host latency; "
+                    "multi-sequence scaling belongs on the mesh 'data' "
+                    "axis (more chips), not one TensorCore",
         },
         "lm_solve": {
             "flops": lm_flops,
@@ -228,6 +241,10 @@ def main():
                     "not compute",
         },
         "anchors": {"mxu_bf16_flops": PEAK_MXU_BF16, "hbm_bytes_s": PEAK_HBM,
+                    "vpu_f32_ops_s": PEAK_VPU_F32,
+                    "vpu_derivation": "8x128 lanes x 4 ALUs x 0.94 GHz, "
+                                      "1 op/ALU/cycle (no FMA credit — "
+                                      "merge passes are compare/select)",
                     "chip": "TPU v5e (public specs)"},
     }
 
