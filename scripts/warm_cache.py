@@ -34,11 +34,15 @@ from liodom_tpu.runtime import aot
 
 
 def main():
-    ex_img = jnp.zeros((64, 2048, 3), jnp.float32)
+    # ring width must match the deployed run exactly (AOT blobs are
+    # shape-keyed): default to the lossless 4096 config default; run_kitti
+    # auto-sizes from the first scan, so pass the same value it prints
+    rw = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    ex_img = jnp.zeros((64, rw, 3), jnp.float32)
     ex_cnt = jnp.zeros((64,), jnp.int32)
 
     for window in (5, 15):
-        cfg = LiodomConfig(local_map_size=window, ring_width=2048)
+        cfg = LiodomConfig(local_map_size=window, ring_width=rw)
         state = P.init_state(cfg)
         t0 = time.perf_counter()
         aot.get_or_compile(
@@ -48,7 +52,7 @@ def main():
         print(f"image_step window={window}: "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
 
-    cfg = LiodomConfig(local_map_size=15, mapping=True, ring_width=2048)
+    cfg = LiodomConfig(local_map_size=15, mapping=True, ring_width=rw)
     from liodom_tpu.mapping import init_combined
     from liodom_tpu.mapping.service import combined_image_step
     mcfg = MapConfig(voxel_xysize=40.0, voxel_zsize=50.0, resolution=0.4,
