@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--render-workers", type=int, default=2)
     ap.add_argument("--sample-every", type=int, default=100,
                     help="frames between map-growth / truncation samples")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save a resumable checkpoint (odom + map state + "
+                    "trajectory) every --checkpoint-every frames; resumes "
+                    "automatically when one exists")
+    ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--results-dir", default=None)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
@@ -117,9 +122,27 @@ def main():
         return img, counts, n_drop
 
     state, mstate = init_combined(cfg, mcfg)
+
+    from liodom_tpu.runtime import checkpoint as CK
+    start_frame = 0
+    resumed_poses = []
+    if args.checkpoint_dir and CK.latest_step(args.checkpoint_dir) is not None:
+        step_no, ck = CK.restore(
+            args.checkpoint_dir,
+            template={"odom_state": state, "map_state": mstate})
+        state, mstate, start_frame = ck.odom_state, ck.map_state, \
+            ck.frame_index
+        for m in ck.trajectory:
+            m44 = np.eye(4)
+            m44[:3, :4] = m
+            resumed_poses.append(m44)
+        print(f"resumed from checkpoint step {step_no} "
+              f"(frame {start_frame})")
+
     pool = ThreadPoolExecutor(max_workers=args.render_workers)
     depth = max(args.render_workers * 2, args.chunk + 2)
-    futures = {i: pool.submit(make_frame, i) for i in range(min(depth, n))}
+    futures = {i: pool.submit(make_frame, i)
+               for i in range(start_frame, min(start_frame + depth, n))}
 
     def get_frame(i):
         img, counts, n_drop = futures.pop(i).result()
@@ -128,9 +151,10 @@ def main():
             futures[j] = pool.submit(make_frame, j)
         return img, counts, n_drop
 
-    poses, ring_dropped = [], 0
+    poses, ring_dropped = list(resumed_poses), 0
     growth = []          # (frame, valid_slots, distinct_cells, loc_hits)
     engine_s = 0.0
+    next_ck = start_frame + args.checkpoint_every
     cbuf, pose_buf = [], []
     mat_of = jax.jit(lambda p: p.matrix())
 
@@ -145,7 +169,7 @@ def main():
 
     t_start = time.perf_counter()
     t_compile = None
-    for i in range(n):
+    for i in range(start_frame, n):
         img, counts, n_drop = get_frame(i)
         ring_dropped += n_drop
         if imu_quats is not None:
@@ -175,6 +199,12 @@ def main():
             t_compile = time.perf_counter() - t_start
         else:
             engine_s += dt0     # engine time excl. the compile frame
+        if (args.checkpoint_dir is not None and len(cbuf) == 0
+                and (i + 1) >= next_ck):
+            flush_poses()
+            CK.save(args.checkpoint_dir, i + 1, CK.EngineCheckpoint(
+                state, mstate, np.stack(poses)[:, :3, :4], i + 1))
+            next_ck = i + 1 + args.checkpoint_every
         if (i + 1) % args.sample_every == 0 or i == n - 1:
             flush_poses()
             p_t = jnp.asarray(poses[-1][:3, 3], jnp.float32) \
@@ -213,9 +243,10 @@ def main():
         if growth else 0
     course_m = float(np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0),
                                            axis=1)))
-    print(f"\nlong course: {n} frames, {course_m:.0f} m, "
-          f"wall {wall:.0f} s = {n / wall:.1f} scans/s end-to-end "
-          f"({n / engine_s:.1f} scans/s engine-only; "
+    done = n - start_frame
+    print(f"\nlong course: {n} frames ({done} this run), {course_m:.0f} m, "
+          f"wall {wall:.0f} s = {done / wall:.1f} scans/s end-to-end "
+          f"({done / max(engine_s, 1e-9):.1f} scans/s engine-only; "
           f"compile {t_compile or 0:.1f} s)")
     print(f"ATE {ate:.3f} m; RPE@1 {t1:.4f} m / {np.degrees(r1):.4f} deg"
           + (f"; RPE@100 {t100:.2f} m, drift {drift_pct:.2f} %"
@@ -234,8 +265,8 @@ def main():
             "frames": n, "course_m": round(course_m, 1),
             "ate_m": round(ate, 4), "rpe1_m": round(float(t1), 5),
             "drift_pct": None if drift_pct is None else round(drift_pct, 3),
-            "scans_per_s": round(n / wall, 2),
-            "engine_scans_per_s": round(n / engine_s, 2),
+            "scans_per_s": round(done / wall, 2),
+            "engine_scans_per_s": round(done / max(engine_s, 1e-9), 2),
             "map_leaves": growth[-1][1], "map_cells": growth[-1][2],
             "map_load_pct": round(
                 100.0 * growth[-1][1] / mcfg.map_capacity, 2),

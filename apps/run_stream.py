@@ -54,6 +54,11 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--root", default=None,
+                    help="KITTI odometry root: replay a real sequence "
+                    "instead of the synthetic world (the reference's "
+                    "rosbag-replay deployment, launch/liodom.launch:7)")
+    ap.add_argument("--seq", default="00")
     ap.add_argument("--rate", type=float, default=10.0,
                     help="sensor rate, Hz (KITTI Velodyne is 10)")
     ap.add_argument("--queue-size", type=int, default=1,
@@ -95,21 +100,37 @@ def main():
     mcfg = MapConfig(local_map_capacity=args.local_map_capacity,
                      map_capacity=args.map_capacity)
 
-    world = (StreamWorld(seed=0) if args.world == "stream"
-             else BoxWorld(seed=0))
-    pos, yaws = drive_trajectory(args.frames, speed=args.speed,
-                                 yaw_rate=args.yaw_rate)
-
-    # Pre-render + pre-split so the sensor thread's pacing is honest wall
-    # clock (rendering is the simulator's cost, not the sensor's).
+    # Pre-render/pre-load + pre-split so the sensor thread's pacing is
+    # honest wall clock (rendering/disk is the simulator's cost, not the
+    # sensor's).
     scans = []
-    for i in range(args.frames):
-        r = world.render(pos[i], yaw_matrix(yaws[i]), width=args.width,
-                         noise=args.noise, seed=100 + i)
-        img, counts, n_drop = native.split_velodyne_np(
-            r.astype(np.float32), cfg.scan_lines, cfg.ring_width,
-            cfg.min_range, cfg.max_range)
-        scans.append((img, counts, n_drop))
+    gt_pos = None
+    if args.root:
+        from liodom_tpu.core.io import KittiSequence
+        seq = KittiSequence(args.root, args.seq)
+        for i, item in enumerate(seq.iter_images(
+                cfg.scan_lines, cfg.ring_width, cfg.min_range,
+                cfg.max_range)):
+            if i >= args.frames:
+                break
+            scans.append(item)
+        args.frames = len(scans)
+        gt = seq.gt_velo()
+        if gt is not None:
+            gt_pos = gt[:args.frames, :3, 3]
+    else:
+        world = (StreamWorld(seed=0) if args.world == "stream"
+                 else BoxWorld(seed=0))
+        pos, yaws = drive_trajectory(args.frames, speed=args.speed,
+                                     yaw_rate=args.yaw_rate)
+        gt_pos = pos
+        for i in range(args.frames):
+            r = world.render(pos[i], yaw_matrix(yaws[i]), width=args.width,
+                             noise=args.noise, seed=100 + i)
+            img, counts, n_drop = native.split_velodyne_np(
+                r.astype(np.float32), cfg.scan_lines, cfg.ring_width,
+                cfg.min_range, cfg.max_range)
+            scans.append((img, counts, n_drop))
     ring_dropped = sum(s[2] for s in scans)
 
     sensor_ch: Channel = Channel(maxsize=args.queue_size)
@@ -211,9 +232,13 @@ def main():
     # --- accounting: every frame is processed, queued or counted dropped
     drops = sensor_ch.dropped
     leftover = len(sensor_ch)
-    errs = [np.linalg.norm(poses[k][:3, 3] - pos[frame_ids[k]])
-            for k in range(processed)]
-    ate = float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan")
+    if gt_pos is not None:
+        errs = [np.linalg.norm(poses[k][:3, 3] - gt_pos[frame_ids[k]])
+                for k in range(processed)]
+        ate = float(np.sqrt(np.mean(np.square(errs)))) if errs \
+            else float("nan")
+    else:
+        ate = float("nan")
     print(f"stream: {args.frames} frames at {args.rate:.0f} Hz -> "
           f"{processed} processed, {drops} dropped (queue={args.queue_size},"
           f" drop-oldest), {leftover} left; wall {wall:.1f} s")

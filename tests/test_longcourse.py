@@ -52,3 +52,30 @@ def test_longcourse_stream_no_uncounted_loss_bounded_drift(capsys):
     # runs looser but must stay an order below the 1.2 m/frame motion)
     assert s["rpe1_m"] < 0.4, s
     assert s["ate_m"] < 4.0, s
+
+
+@pytest.mark.slow
+def test_longcourse_checkpoint_resume(tmp_path, capsys):
+    """A long course interrupted mid-run resumes from the checkpoint (odom
+    + MAP state + trajectory) and lands near the uninterrupted run."""
+    base = ["--frames", "10", "--width", "600", "--ring-width", "1280",
+            "--local-map-size", "3", "--map-capacity", "65536",
+            "--local-map-capacity", "8192", "--sample-every", "10",
+            "--json"]
+    rc, s_full = _run(base, capsys)
+    assert rc == 0
+
+    ck = str(tmp_path / "ck")
+    rc, s_a = _run(base[:4] + ["--frames", "6"] + base[4:]
+                   + ["--checkpoint-dir", ck, "--checkpoint-every", "6"],
+                   capsys)
+    assert rc == 0
+    from liodom_tpu.runtime import checkpoint as CK
+    assert CK.latest_step(ck) == 6
+    rc, s_b = _run(base + ["--checkpoint-dir", ck,
+                           "--checkpoint-every", "100"], capsys)
+    assert rc == 0
+    # resumed run covers all 10 frames and matches the uninterrupted ATE
+    # closely (float32 state round-trips bit-exact through orbax)
+    assert abs(s_b["ate_m"] - s_full["ate_m"]) < 5e-3, (s_b, s_full)
+    assert s_b["map_leaves"] == s_full["map_leaves"], (s_b, s_full)

@@ -61,6 +61,21 @@ def test_paced_keepup_no_drops(capsys):
     assert s["ate_m"] is not None and s["ate_m"] < 1.5, s
 
 
+def test_stream_kitti_layout(tmp_path, capsys):
+    """--root: the rosbag-replay deployment over a KITTI-layout sequence
+    (synthesized), paced through the same channel machinery with GT ATE."""
+    from test_run_kitti_e2e import _make_kitti
+    _make_kitti(tmp_path, n_scans=6, width=400)
+    rc, s, out = _run([
+        "--root", str(tmp_path), "--seq", "00", "--frames", "6",
+        "--rate", "0.5", "--ring-width", "512", "--local-map-size", "3",
+        "--json"], capsys)
+    assert rc == 0
+    assert s["accounted"] == 6, s
+    assert s["processed"] == 6, s
+    assert s["ate_m"] is not None and s["ate_m"] < 1.5, s
+
+
 def test_mapping_feedback_loop(capsys):
     """Mapper thread folds solved frames and publishes the local map back;
     overflow counters stay zero at test scale."""
