@@ -202,6 +202,9 @@ def main():
     last_odom_ms = float("nan")   # latest sampled device latency
     cbuf = []                 # staged frames awaiting a chained dispatch
     next_ck = start_frame + args.checkpoint_every
+    next_timed = start_frame  # chunk-mode latency-sample schedule (chunk
+    # boundaries rarely align with (i % time_every == 0), so sample on the
+    # first flush AT/after each due point instead)
     scan_iter = seq.iter_images(cfg.scan_lines, cfg.ring_width,
                                 cfg.min_range, cfg.max_range)
     for i, (img, counts, n_drop) in enumerate(scan_iter):
@@ -252,7 +255,7 @@ def main():
             # chunk; the remainder tail falls back to the per-frame step
             cbuf.append((jx, jc, i))
             flushed = len(cbuf) == chunk or i == n - 1
-            timed = timed and flushed   # fetches only on chunk boundaries
+            timed = args.time_every > 0 and flushed and i >= next_timed
             if flushed:
                 t_c = time.perf_counter()
                 if len(cbuf) == chunk:
@@ -280,6 +283,7 @@ def main():
                     np.asarray(pose.t)
                     last_odom_ms = ((time.perf_counter() - t_c) * 1e3
                                     / len(cbuf))
+                    next_timed = i + args.time_every
                 cbuf.clear()
         ck_due = (args.checkpoint_dir is not None and flushed
                   and (i + 1) >= next_ck)

@@ -93,13 +93,16 @@ def main():
                        use_imu=args.imu)
     mcfg = MapConfig(map_capacity=args.map_capacity,
                      local_map_capacity=args.local_map_capacity)
+    pos, yaws = drive_trajectory(n, speed=args.speed,
+                                 yaw_rate=args.yaw_rate)
     if args.world == "box":
         from liodom_tpu.core.synth import BoxWorld
         world = BoxWorld(seed=0)
     else:
         world = StreamWorld(seed=0)
-    pos, yaws = drive_trajectory(n, speed=args.speed,
-                                 yaw_rate=args.yaw_rate)
+        # objects keep clear of the course (see-through-wall frames when
+        # the vehicle transits a building are physically inconsistent)
+        world.set_keepout(pos[:, :2])
     rots = [yaw_matrix(y) for y in yaws]
     quats = np.stack([quat_from_matrix_np(r) for r in rots])
 
@@ -138,6 +141,11 @@ def main():
             resumed_poses.append(m44)
         print(f"resumed from checkpoint step {step_no} "
               f"(frame {start_frame})")
+        if start_frame >= n:
+            print(f"checkpoint already covers frame {start_frame} >= "
+                  f"--frames {n}; nothing to do (pass a larger --frames "
+                  "to extend the course)")
+            return 0
 
     pool = ThreadPoolExecutor(max_workers=args.render_workers)
     depth = max(args.render_workers * 2, args.chunk + 2)
@@ -172,20 +180,26 @@ def main():
     for i in range(start_frame, n):
         img, counts, n_drop = get_frame(i)
         ring_dropped += n_drop
-        if imu_quats is not None:
-            state = P.set_imu(state, jnp.asarray(imu_quats[i]))
         t0 = time.perf_counter()
         if args.chunk > 1:
             cbuf.append((img, counts, i))
             if len(cbuf) == args.chunk or i == n - 1:
                 xs = jnp.asarray(np.stack([b[0] for b in cbuf]), jnp.float32)
                 cs = jnp.asarray(np.stack([b[1] for b in cbuf]), jnp.int32)
+                qs = None
+                if imu_quats is not None:
+                    # per-frame IMU orientations ride the scan (each frame
+                    # must see ITS quat, not the chunk's last)
+                    qs = jnp.asarray(
+                        np.stack([imu_quats[b[2]] for b in cbuf]))
                 state, mstate, cps, _ = chained_combined_image_step(
                     state, mstate, xs, cs, cfg, mcfg, step0=cbuf[0][2],
-                    local_map_every=args.local_map_every)
+                    local_map_every=args.local_map_every, imu_quats=qs)
                 poses.extend(np.asarray(mat_of(cps), np.float64))
                 cbuf.clear()
         else:
+            if imu_quats is not None:
+                state = P.set_imu(state, jnp.asarray(imu_quats[i]))
             state, mstate, pose, _ = combined_image_step(
                 state, mstate, jnp.asarray(img, jnp.float32),
                 jnp.asarray(counts, jnp.int32), cfg, mcfg,
@@ -239,8 +253,10 @@ def main():
         drift_pct = float(100.0 * np.mean(rel / np.maximum(dist100, 1e-9)))
 
     map_overflow = int(mstate.overflow)
-    loc_trunc = max(growth[-1][3] - mcfg.local_map_capacity, 0) \
-        if growth else 0
+    # truncation gate over EVERY sample, not just the last — a mid-course
+    # density peak must not pass silently
+    loc_trunc = max((max(g[3] - mcfg.local_map_capacity, 0)
+                     for g in growth), default=0)
     course_m = float(np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0),
                                            axis=1)))
     done = n - start_frame

@@ -183,6 +183,8 @@ def main():
     cbuf, pending = [], []
     last_odom_ms = float("nan")
     t_compile = None
+    next_timed = start_frame   # chunk-mode sampling: first flush at/after
+    n_flushed = 1              # each due point (boundaries rarely align)
     t_start = time.perf_counter()
     for i in range(start_frame, n):
         img, counts, nd = get_frame(i)
@@ -191,8 +193,6 @@ def main():
         t0 = time.perf_counter()
         jx = jnp.asarray(img, jnp.float32)
         jc = jnp.asarray(counts, jnp.int32)
-        timed = args.time_every > 0 and \
-            (i - start_frame) % args.time_every == 0
         if chunk == 1:
             state, pose, n_edges = step_image(state, jx, jc)
             pending.append((pose, n_edges))
@@ -200,7 +200,6 @@ def main():
         else:
             cbuf.append((jx, jc))
             flushed = len(cbuf) == chunk or i == n - 1
-            timed = timed and flushed
             if flushed:
                 if len(cbuf) == chunk:
                     xs = jnp.stack([b[0] for b in cbuf])
@@ -215,13 +214,19 @@ def main():
                         state, p_, ne_ = step_image(state, bx, bc)
                         pending.append((p_, ne_))
                 pose = pending[-1][0]
+                n_flushed = len(cbuf)
                 cbuf.clear()
+        timed = args.time_every > 0 and flushed and i >= next_timed
         if flushed and (timed or t_compile is None):
             np.asarray(pose.t)
             dt = (time.perf_counter() - t0) * 1e3
-            last_odom_ms = dt / max(len(pending), 1) if chunk > 1 else dt
             if t_compile is None:
+                # compile-inflated — record it as compile, NOT as a
+                # latency sample
                 t_compile = dt / 1e3
+            else:
+                last_odom_ms = dt / n_flushed if chunk > 1 else dt
+                next_timed = i + args.time_every
         ck_due = (args.checkpoint_dir is not None and flushed
                   and (i + 1) % args.checkpoint_every == 0)
         if flushed and (timed or (i + 1) % 50 == 0 or i == n - 1 or ck_due):
@@ -229,7 +234,9 @@ def main():
                 mat = np.asarray(p_.matrix(), np.float64)
                 stats.add_pose(mat)
                 stats.add_num_feats(int(ne_))
-                stats.add_laser_odometry_time(last_odom_ms, measured=timed)
+                stats.add_laser_odometry_time(
+                    last_odom_ms,
+                    measured=timed and bool(np.isfinite(last_odom_ms)))
                 poses.append(mat)
                 pub.publish(mat, stamp=len(poses) * 0.1)
             pending.clear()

@@ -119,10 +119,13 @@ def main():
         if gt is not None:
             gt_pos = gt[:args.frames, :3, 3]
     else:
-        world = (StreamWorld(seed=0) if args.world == "stream"
-                 else BoxWorld(seed=0))
         pos, yaws = drive_trajectory(args.frames, speed=args.speed,
                                      yaw_rate=args.yaw_rate)
+        if args.world == "stream":
+            world = StreamWorld(seed=0)
+            world.set_keepout(pos[:, :2])
+        else:
+            world = BoxWorld(seed=0)
         gt_pos = pos
         for i in range(args.frames):
             r = world.render(pos[i], yaw_matrix(yaws[i]), width=args.width,
@@ -162,16 +165,18 @@ def main():
         k = 0
         while True:
             try:
-                wxyz, wvalid, p_t = mapper_ch.pop(timeout=5.0)
-            except (Closed, TimeoutError):
-                break
+                wxyz, wvalid, p_t = mapper_ch.pop(timeout=2.0)
+            except Closed:
+                break            # engine closed the channel and it drained
+            except TimeoutError:
+                continue         # idle gap (slow sensor) — keep serving
             from liodom_tpu.core.pose import Pose
             svc.update(wxyz, wvalid, Pose.identity())  # edges pre-transformed
             k += 1
             mapper_state["processed"] = k
             if k % max(args.local_map_every, 1) == 0:
-                lx, lv = svc.local_map(p_t)
-                mapper_state["loc_trunc"] += svc.local_map_overflow(p_t)
+                lx, lv, ovf = svc.local_map_with_overflow(p_t)
+                mapper_state["loc_trunc"] += ovf
                 local_map_slot.set((lx, lv))
         mapper_state["overflow"] = int(svc.state.overflow)
 

@@ -66,11 +66,12 @@ class LiodomConfig:
     max_points: int = 131072        # padded raw scan capacity (KITTI HDL-64 ~ 120k pts)
     # Padded points per ring after routing.  4096 is lossless for HDL-64
     # scans (the reference's unbounded ring vectors never drop,
-    # feature_extractor.cc:153-156) and measured FREE on TPU relative to
-    # 2048 — the wider frame costs the same device time (README width
-    # sweep), while 2048 dropped ~4.7k pts/frame on the 6-DoF course.
-    # Apps can still right-size (run_kitti auto-sizes from the first scan;
-    # bench.py pins 2048 for its width-1800 renders, verified lossless).
+    # feature_extractor.cc:153-156); 2048 silently dropped ~4.5k pts/frame
+    # — the Velodyne elevation formulas merge adjacent laser rows, so a
+    # ring holds up to ~2x the azimuth width.  The wider frame measured
+    # ~8% odometry cost (bench.py round 5, which now runs THIS default and
+    # asserts zero drops per frame).  run_kitti auto-sizes from the first
+    # scan; pick a smaller width only with the drop counter watched.
     ring_width: int = 4096
     # Derived edge capacity = scan_lines * scan_regions * (edges_per_region + 1).
     dtype: str = "float32"

@@ -114,6 +114,30 @@ class StreamWorld:
         self.ground_z = ground_z
         self.max_range = max_range
         self._cache: dict = {}
+        self._keepout: np.ndarray | None = None
+        self._keepout_r = 3.0
+
+    def set_keepout(self, path_xy: np.ndarray, clearance: float = 3.0
+                    ) -> None:
+        """Register the vehicle trajectory: tile objects within
+        ``clearance`` of any path point are dropped at generation time.
+
+        Without this, object placement knows nothing about the course and
+        the vehicle statistically transits buildings/poles on long drives
+        (the box slab test needs tmin > 0.1, so walls seen from INSIDE are
+        invisible — physically inconsistent see-through frames).  The
+        world stays deterministic given (seed, path); every renderer of a
+        course must register the same path.  Clears the tile cache."""
+        self._keepout = np.asarray(path_xy, np.float64)[:, :2]
+        self._keepout_r = float(clearance)
+        self._cache.clear()
+
+    def _path_near(self, x0, y0, x1, y1) -> np.ndarray:
+        """Keep-out path points within the [x0, x1] x [y0, y1] bbox."""
+        p = self._keepout
+        m = ((p[:, 0] >= x0) & (p[:, 0] <= x1)
+             & (p[:, 1] >= y0) & (p[:, 1] <= y1))
+        return p[m]
 
     def _tile_objects(self, tx: int, ty: int):
         """(poles (P, 3: x, y, r), boxes (B, 6: x0, x1, y0, y1, z0, z1)) of
@@ -145,6 +169,22 @@ class StreamWorld:
             blist.append([bx, bx + w, by, by + d,
                           self.ground_z, self.ground_z + h])
         boxes = (np.asarray(blist) if blist else np.zeros((0, 6)))
+        if self._keepout is not None:
+            r = self._keepout_r
+            near = self._path_near(x0 - r, y0 - r, x0 + t + r, y0 + t + r)
+            if len(near):
+                d = np.linalg.norm(
+                    poles[:, None, :2] - near[None, :, :], axis=-1)
+                poles = poles[d.min(axis=1) > (r + poles[:, 2])]
+                keep = []
+                for b in boxes:
+                    inside = ((near[:, 0] >= b[0] - r)
+                              & (near[:, 0] <= b[1] + r)
+                              & (near[:, 1] >= b[2] - r)
+                              & (near[:, 1] <= b[3] + r))
+                    if not inside.any():
+                        keep.append(b)
+                boxes = (np.asarray(keep) if keep else np.zeros((0, 6)))
         self._cache[key] = (poles, boxes)
         # bound the cache (long runs walk far): drop distant tiles
         if len(self._cache) > 4096:

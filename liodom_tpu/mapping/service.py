@@ -123,7 +123,8 @@ def chained_combined_image_step(odom_state: OdomState, map_state: MapState,
                                 imgs_xyz: jax.Array, imgs_count: jax.Array,
                                 cfg: LiodomConfig, mcfg: MapConfig,
                                 step0=0, local_map_every: int = 1,
-                                t_laser_base: Optional[Pose] = None
+                                t_laser_base: Optional[Pose] = None,
+                                imu_quats: Optional[jax.Array] = None
                                 ) -> Tuple[OdomState, MapState, Pose,
                                            jax.Array]:
     """K frames of the fused odometry+mapping loop per device dispatch —
@@ -133,20 +134,30 @@ def chained_combined_image_step(odom_state: OdomState, map_state: MapState,
     ``step0`` seeds the frame counter for the ``local_map_every`` cadence
     (a traced operand — chunk k of a replay passes ``step0=k*K`` and the
     async-mapper refresh pattern is identical to the unchained loop).
+    With ``cfg.use_imu`` pass per-frame ``imu_quats`` (K, 4) — see the
+    chained_image_step note.
 
     Returns (odom_state, map_state, poses (K, ...), n_edges (K,))."""
+    if cfg.use_imu and imu_quats is None:
+        raise ValueError("cfg.use_imu requires per-frame imu_quats (K, 4) "
+                         "in the chained step")
 
     def body(carry, xc):
         s, m, i = carry
-        x, c = xc
+        if imu_quats is None:
+            x, c = xc
+        else:
+            x, c, q = xc
+            s = s._replace(imu_ori=q.astype(s.imu_ori.dtype))
         s2, m2, pose, ne = combined_image_step(
             s, m, x, c, cfg, mcfg, step=i,
             local_map_every=local_map_every, t_laser_base=t_laser_base)
         return (s2, m2, i + 1), (pose, ne)
 
+    xs = (imgs_xyz, imgs_count) if imu_quats is None else \
+        (imgs_xyz, imgs_count, imu_quats)
     (odom_state, map_state, _), (poses, nedges) = jax.lax.scan(
-        body, (odom_state, map_state, jnp.asarray(step0, jnp.int32)),
-        (imgs_xyz, imgs_count))
+        body, (odom_state, map_state, jnp.asarray(step0, jnp.int32)), xs)
     return odom_state, map_state, poses, nedges
 
 
@@ -190,16 +201,24 @@ class MappingService:
         return out
 
     def local_map(self, position) -> Tuple[jax.Array, jax.Array]:
+        xyz, valid, _ovf = self.local_map_with_overflow(position)
+        return xyz, valid
+
+    def local_map_with_overflow(self, position
+                                ) -> Tuple[jax.Array, jax.Array, int]:
+        """(xyz, valid, hits beyond capacity) from ONE extraction — the
+        publish path needs both, and ``get_local_map`` is a C-sized
+        membership scan + top_k that should not run twice per publish."""
         xyz, valid, n_hits = get_local_map(
             self.state, jnp.asarray(position), self.mcfg,
             capacity=self.mcfg.local_map_capacity)
-        hits = int(n_hits)
-        if hits > self.mcfg.local_map_capacity:
+        ovf = max(int(n_hits) - self.mcfg.local_map_capacity, 0)
+        if ovf:
             logging.getLogger("liodom.mapping").warning(
                 "local map truncated: %d hits > capacity %d "
                 "(raise MapConfig.local_map_capacity)",
-                hits, self.mcfg.local_map_capacity)
-        return xyz, valid
+                int(n_hits), self.mcfg.local_map_capacity)
+        return xyz, valid, ovf
 
     def local_map_overflow(self, position) -> int:
         """Hits beyond ``local_map_capacity`` at ``position`` (0 = lossless).

@@ -202,6 +202,7 @@ def full_step(state: OdomState, raw_xyz: jax.Array, raw_valid: jax.Array,
 def chained_image_step(state: OdomState, imgs_xyz: jax.Array,
                        imgs_count: jax.Array, cfg: LiodomConfig,
                        t_laser_base: Optional[Pose] = None,
+                       imu_quats: Optional[jax.Array] = None,
                        ) -> Tuple[OdomState, Pose, jax.Array]:
     """K frames per device dispatch: ``lax.scan`` over the image_step body.
 
@@ -219,16 +220,27 @@ def chained_image_step(state: OdomState, imgs_xyz: jax.Array,
     cannot make because its pipeline is host threads end-to-end.  Live
     paced apps (apps/run_stream.py) keep the per-frame step.
 
-    ``imgs_xyz``: (K, R, W, 3); ``imgs_count``: (K, R).
-    Returns (state, poses stacked (K, ...), n_edges (K,))."""
+    ``imgs_xyz``: (K, R, W, 3); ``imgs_count``: (K, R).  With
+    ``cfg.use_imu``, pass ``imu_quats`` (K, 4) so each scanned frame sees
+    ITS sensor orientation (the per-frame loop's ``set_imu`` before each
+    step) — without it every frame in the chunk would reuse the state's
+    last quat.  Returns (state, poses stacked (K, ...), n_edges (K,))."""
+    if cfg.use_imu and imu_quats is None:
+        raise ValueError("cfg.use_imu requires per-frame imu_quats (K, 4) "
+                         "in the chained step")
 
     def body(s, xc):
-        x, c = xc
+        if imu_quats is None:
+            x, c = xc
+        else:
+            x, c, q = xc
+            s = s._replace(imu_ori=q.astype(s.imu_ori.dtype))
         s2, pose, ne = image_step(s, x, c, cfg, t_laser_base)
         return s2, (pose, ne)
 
-    state, (poses, nedges) = jax.lax.scan(
-        body, state, (imgs_xyz, imgs_count))
+    xs = (imgs_xyz, imgs_count) if imu_quats is None else \
+        (imgs_xyz, imgs_count, imu_quats)
+    state, (poses, nedges) = jax.lax.scan(body, state, xs)
     return state, poses, nedges
 
 

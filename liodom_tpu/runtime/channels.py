@@ -38,7 +38,9 @@ class Channel(Generic[T]):
 
     def __init__(self, maxsize: int = 8):
         self._q: Deque[T] = collections.deque()
-        self._maxsize = maxsize
+        # a 0/negative size would make offer_latest pop an empty deque;
+        # the smallest meaningful channel is the reference's queue of 1
+        self._maxsize = max(int(maxsize), 1)
         self._mu = threading.Lock()
         self._not_empty = threading.Condition(self._mu)
         self._not_full = threading.Condition(self._mu)

@@ -97,6 +97,34 @@ def test_chained_combined_matches_per_frame(images):
     assert int(cm2.overflow) == int(cm.overflow)
 
 
+def test_chained_with_per_frame_imu_matches(images):
+    """cfg.use_imu in the chained step: each scanned frame must see ITS
+    IMU quat (passed as a (K, 4) scan input), matching the per-frame
+    set_imu-then-step loop exactly."""
+    cfg = CFG.replace(use_imu=True)
+    rng = np.random.default_rng(3)
+    quats = rng.normal(size=(N_FRAMES, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    quats = jnp.asarray(quats, jnp.float32)
+
+    state = P.init_state(cfg)
+    ref = []
+    for f, (im, ct) in enumerate(images):
+        state = P.set_imu(state, quats[f])
+        state, pose, _ = P.image_step(state, im, ct, cfg)
+        ref.append(np.asarray(pose.t))
+
+    imgs, cnts = _stack(images)
+    _, poses, _ = P.chained_image_step(
+        P.init_state(cfg), imgs, cnts, cfg, imu_quats=quats)
+    got = np.asarray(poses.t)
+    for f in range(N_FRAMES):
+        assert np.linalg.norm(got[f] - ref[f]) < 1e-4, f
+    # and the guard: use_imu without quats is an error, not silent reuse
+    with pytest.raises(ValueError):
+        P.chained_image_step(P.init_state(cfg), imgs, cnts, cfg)
+
+
 def test_chained_chunked_resume_parity(images):
     """Two chained chunks of K/2 == one chunk of K (step0 carries the
     cadence counter across chunks)."""

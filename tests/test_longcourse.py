@@ -35,6 +35,31 @@ def _run(argv, capsys):
     return rc, summary
 
 
+def test_streamworld_keepout_clears_the_course():
+    """set_keepout drops tile objects within clearance of the trajectory —
+    the vehicle never drives through a building/pole (see-through-wall
+    frames are physically inconsistent)."""
+    import numpy as np
+    from liodom_tpu.core.synth import StreamWorld, drive_trajectory
+
+    pos, _ = drive_trajectory(300, speed=1.2, yaw_rate=0.004)
+    w = StreamWorld(seed=0)
+    w.set_keepout(pos[:, :2], clearance=3.0)
+    poles, boxes = w._gather(pos[150])
+    if len(poles):
+        d = np.linalg.norm(poles[:, None, :2] - pos[None, :, :2], axis=-1)
+        assert (d.min(axis=1) > 3.0).all(), "pole inside the corridor"
+    for b in boxes:
+        inside = ((pos[:, 0] >= b[0] - 3.0) & (pos[:, 0] <= b[1] + 3.0)
+                  & (pos[:, 1] >= b[2] - 3.0) & (pos[:, 1] <= b[3] + 3.0))
+        assert not inside.any(), "building overlaps the corridor"
+    # determinism with the same keepout
+    w2 = StreamWorld(seed=0)
+    w2.set_keepout(pos[:, :2], clearance=3.0)
+    p2, b2 = w2._gather(pos[150])
+    assert np.array_equal(poles, p2) and np.array_equal(boxes, b2)
+
+
 @pytest.mark.slow
 def test_longcourse_stream_no_uncounted_loss_bounded_drift(capsys):
     rc, s = _run([
