@@ -73,13 +73,16 @@ def main():
     # a truncation emits a warning line — fixed-shape capacity planning is
     # a deployment decision, not a bench shortcut (the reference's
     # unbounded getLocalMap has no equivalent knob, map.cc:141-189).
-    # map_capacity is right-sized the same way: the course occupies ~39k
-    # leaves and update_map pays C-sized elementwise decode passes, so
-    # 262144 -> 131072 (30% load) measured 128 -> 142 scans/s combined with
-    # BIT-EXACT pose parity and zero overflow (scripts/map_capacity_sweep.py;
-    # 65536 LOSES — 59% load degrades the quadratic probe).  Overflow is
-    # counted on-device and warned below.
-    mcfg = MapConfig(local_map_capacity=16384, map_capacity=131072)
+    # map_capacity: the capacity curve is NON-monotonic (round 5, combined
+    # context at the lossless frame width: 131072 -> 127.9, 262144 ->
+    # 121.6, 524288 -> 132.0 scans/s; the isolated epilogue sweep shows
+    # the same dip at 262k — scripts/map_epilogue_sweep.py).  524288 wins
+    # outright AND carries 4x the long-course headroom, so it is adopted;
+    # the round-4 "right-size to ~30% load" story (131072 beating 262144)
+    # was real but read the wrong mechanism — probe-round count falls with
+    # load and the C-sized passes are cheap, so BIGGER tables win except
+    # at the 262k resonance.  Overflow is counted on-device, warned below.
+    mcfg = MapConfig(local_map_capacity=16384, map_capacity=524288)
     ccfg = cfg.replace(mapping=True)
     world = BoxWorld(seed=0)
     n_warm, n_bench = 6, 30
