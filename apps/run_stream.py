@@ -76,7 +76,7 @@ def main():
                     "feedback (the reference's second process)")
     ap.add_argument("--local-map-every", type=int, default=4,
                     help="mapper publish cadence in processed frames")
-    ap.add_argument("--map-capacity", type=int, default=131072)
+    ap.add_argument("--map-capacity", type=int, default=524288)
     ap.add_argument("--local-map-capacity", type=int, default=16384)
     ap.add_argument("--engine-delay", type=float, default=0.0,
                     help="artificial per-frame engine delay, s (test "

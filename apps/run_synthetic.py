@@ -55,7 +55,7 @@ def main():
                     "deployment sizing; rows beyond the neighbourhood's "
                     "n_hits are padding that still costs sort/kNN time — "
                     "truncation is counted and warned)")
-    ap.add_argument("--map-capacity", type=int, default=262144,
+    ap.add_argument("--map-capacity", type=int, default=524288,
                     help="hash-grid table rows; right-size to the course "
                     "(~30%% load is the measured sweet spot — update_map "
                     "pays C-sized decode passes while high load degrades "
