@@ -81,7 +81,9 @@ def main():
     # the round-4 "right-size to ~30% load" story (131072 beating 262144)
     # was real but read the wrong mechanism — probe-round count falls with
     # load and the C-sized passes are cheap, so BIGGER tables win except
-    # at the 262k resonance.  Overflow is counted on-device, warned below.
+    # at the 262k dip (NOT hash quality: a murmur3-finalizer mix
+    # reproduces it bit-for-bit in time, scripts/hash_mix_probe.py).
+    # Overflow is counted on-device, warned below.
     mcfg = MapConfig(local_map_capacity=16384, map_capacity=524288)
     ccfg = cfg.replace(mapping=True)
     world = BoxWorld(seed=0)

@@ -118,9 +118,11 @@ class MapConfig:
     # measurement, isolated and combined-context: 131072 / 262144 / 524288
     # -> 1.77 / 2.24 / 1.30 ms isolated update, 127.9 / 121.6 / 132.0
     # combined scans/s): probe rounds fall with load, the C-sized passes
-    # are cheap streaming, and 262144 specifically resonates badly — so
-    # the BIGGER 524288 default is also the FASTER one, with long-course
-    # headroom to boot (scripts/map_epilogue_sweep.py; bench.py note).
+    # are cheap streaming, and 262144 specifically is slow — NOT a hash
+    # artefact (a murmur3-finalizer mix reproduces the dip exactly,
+    # scripts/hash_mix_probe.py; likely XLA layout/tiling at that shape) —
+    # so the BIGGER 524288 default is also the FASTER one, with
+    # long-course headroom to boot (scripts/map_epilogue_sweep.py).
     map_capacity: int = 524288
     local_map_capacity: int = 65536  # padded rows returned by get_local_map
 
