@@ -29,6 +29,14 @@ layer (runtime/channels.py — the SharedData parity components):
 Every lossy event is counted: channel drops, mapper-channel drops, map
 overflow, local-map truncation (the no-silent-caps contract).
 
+Dev-environment note (measured): on the TUNNELED TPU backend the
+per-frame blocking pose fetch costs ~70 ms of RPC and the 3 MB frame
+upload ~30-60 ms at the tunnel's ~55 MB/s, so a 10 Hz live pace drops
+~40% of frames (counted + watchdog-warned) even though the engine step
+itself is ~7 ms — a co-located TPU host (GB/s PCIe, sub-ms fetch)
+sustains 10 Hz with ~90 ms/frame of headroom.  Use --rate 4-5 on the
+tunnel for a drop-free live run.
+
 Usage:
     python apps/run_stream.py --frames 100 --rate 10
     python apps/run_stream.py --frames 60 --rate 200 --mapping  # overload
@@ -69,7 +77,7 @@ def main():
     ap.add_argument("--noise", type=float, default=0.01)
     ap.add_argument("--speed", type=float, default=1.2, help="m/frame")
     ap.add_argument("--yaw-rate", type=float, default=0.004)
-    ap.add_argument("--ring-width", type=int, default=2048)
+    ap.add_argument("--ring-width", type=int, default=4096)
     ap.add_argument("--local-map-size", type=int, default=5)
     ap.add_argument("--mapping", action="store_true",
                     help="run the mapper thread + adaptive local-map "
@@ -77,7 +85,7 @@ def main():
     ap.add_argument("--local-map-every", type=int, default=4,
                     help="mapper publish cadence in processed frames")
     ap.add_argument("--map-capacity", type=int, default=524288)
-    ap.add_argument("--local-map-capacity", type=int, default=16384)
+    ap.add_argument("--local-map-capacity", type=int, default=32768)
     ap.add_argument("--engine-delay", type=float, default=0.0,
                     help="artificial per-frame engine delay, s (test "
                     "hook: induces lag so drops/watchdog can be exercised "
