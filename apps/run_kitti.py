@@ -197,6 +197,11 @@ def main():
             poses.append(m44)
             stats.add_pose(m44)
         print(f"resumed from checkpoint step {step} (frame {start_frame})")
+        if start_frame >= n:
+            print(f"checkpoint already covers frame {start_frame} >= "
+                  f"--frames {n}; nothing to do (pass a larger --frames "
+                  "to extend the run)")
+            return 0
 
     ring_dropped = 0          # points lost to the ring_width clamp (loader)
     last_odom_ms = float("nan")   # latest sampled device latency
@@ -315,8 +320,11 @@ def main():
         freq.tick_output(t=i * sensor_dt + (time.perf_counter() - t_start))
 
     wall = time.perf_counter() - t_start - (t_compile or 0.0)
-    print(f"compile: {t_compile:.1f} s; "
-          f"{n - 1} frames in {wall:.1f} s = {(n - 1) / max(wall, 1e-9):.1f} "
+    # throughput over the frames THIS session processed (a resumed run only
+    # executes n - start_frame of them; minus the compile frame)
+    done = max(n - start_frame - 1, 1)
+    print(f"compile: {t_compile or 0.0:.1f} s; "
+          f"{done} frames in {wall:.1f} s = {done / max(wall, 1e-9):.1f} "
           f"scans/s (sensor rate {1.0 / sensor_dt:.0f} Hz)")
 
     # No silent caps: every lossy truncation in the run gets reported.

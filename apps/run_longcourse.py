@@ -183,7 +183,7 @@ def main():
         t0 = time.perf_counter()
         if args.chunk > 1:
             cbuf.append((img, counts, i))
-            if len(cbuf) == args.chunk or i == n - 1:
+            if len(cbuf) == args.chunk:
                 xs = jnp.asarray(np.stack([b[0] for b in cbuf]), jnp.float32)
                 cs = jnp.asarray(np.stack([b[1] for b in cbuf]), jnp.int32)
                 qs = None
@@ -196,6 +196,19 @@ def main():
                     state, mstate, xs, cs, cfg, mcfg, step0=cbuf[0][2],
                     local_map_every=args.local_map_every, imu_quats=qs)
                 poses.extend(np.asarray(mat_of(cps), np.float64))
+                cbuf.clear()
+            elif i == n - 1:
+                # remainder tail: per-frame step — a K'-sized chained trace
+                # would recompile the heaviest program for a one-off chunk
+                for bimg, bcounts, bi in cbuf:
+                    if imu_quats is not None:
+                        state = P.set_imu(state, jnp.asarray(imu_quats[bi]))
+                    state, mstate, pose, _ = combined_image_step(
+                        state, mstate, jnp.asarray(bimg, jnp.float32),
+                        jnp.asarray(bcounts, jnp.int32), cfg, mcfg,
+                        step=jnp.int32(bi),
+                        local_map_every=args.local_map_every)
+                    poses.append(np.asarray(mat_of(pose), np.float64))
                 cbuf.clear()
         else:
             if imu_quats is not None:

@@ -185,6 +185,9 @@ def main():
     t_compile = None
     next_timed = start_frame   # chunk-mode sampling: first flush at/after
     n_flushed = 1              # each due point (boundaries rarely align)
+    # checkpoint at the first flush AT/AFTER each due point — a modulo test
+    # never fires when checkpoint_every is not a multiple of the chunk size
+    next_ck = start_frame + args.checkpoint_every
     t_start = time.perf_counter()
     for i in range(start_frame, n):
         img, counts, nd = get_frame(i)
@@ -228,7 +231,7 @@ def main():
                 last_odom_ms = dt / n_flushed if chunk > 1 else dt
                 next_timed = i + args.time_every
         ck_due = (args.checkpoint_dir is not None and flushed
-                  and (i + 1) % args.checkpoint_every == 0)
+                  and (i + 1) >= next_ck)
         if flushed and (timed or (i + 1) % 50 == 0 or i == n - 1 or ck_due):
             for p_, ne_ in pending:
                 mat = np.asarray(p_.matrix(), np.float64)
@@ -243,6 +246,7 @@ def main():
             if ck_due:
                 CK.save(args.checkpoint_dir, i + 1, CK.EngineCheckpoint(
                     state, None, np.stack(poses)[:, :3, :4], i + 1))
+                next_ck = i + 1 + args.checkpoint_every
         freq.tick_output(t=i * 0.1 + (time.perf_counter() - t_start))
 
     wall = time.perf_counter() - t_start - (t_compile or 0.0)

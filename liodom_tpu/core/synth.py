@@ -8,6 +8,7 @@ can be exercised and scored against exact ground truth anywhere.
 
 from __future__ import annotations
 
+import threading
 from typing import Tuple
 
 import numpy as np
@@ -114,6 +115,10 @@ class StreamWorld:
         self.ground_z = ground_z
         self.max_range = max_range
         self._cache: dict = {}
+        # render workers share one world (run_longcourse/run_stream thread
+        # pools); generation is deterministic so duplicate work is harmless,
+        # but dict eviction racing an insert is not — guard the cache
+        self._cache_lock = threading.Lock()
         self._keepout: np.ndarray | None = None
         self._keepout_r = 3.0
 
@@ -130,7 +135,8 @@ class StreamWorld:
         course must register the same path.  Clears the tile cache."""
         self._keepout = np.asarray(path_xy, np.float64)[:, :2]
         self._keepout_r = float(clearance)
-        self._cache.clear()
+        with self._cache_lock:
+            self._cache.clear()
 
     def _path_near(self, x0, y0, x1, y1) -> np.ndarray:
         """Keep-out path points within the [x0, x1] x [y0, y1] bbox."""
@@ -143,8 +149,10 @@ class StreamWorld:
         """(poles (P, 3: x, y, r), boxes (B, 6: x0, x1, y0, y1, z0, z1)) of
         one tile — cached; identical for every renderer of this world."""
         key = (tx, ty)
-        if key in self._cache:
-            return self._cache[key]
+        with self._cache_lock:
+            hit = self._cache.get(key)
+        if hit is not None:
+            return hit
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, tx & 0xFFFFFFFF,
                                     ty & 0xFFFFFFFF]))
@@ -185,11 +193,12 @@ class StreamWorld:
                     if not inside.any():
                         keep.append(b)
                 boxes = (np.asarray(keep) if keep else np.zeros((0, 6)))
-        self._cache[key] = (poles, boxes)
-        # bound the cache (long runs walk far): drop distant tiles
-        if len(self._cache) > 4096:
-            self._cache.pop(next(iter(self._cache)))
-        return self._cache[key]
+        with self._cache_lock:
+            self._cache[key] = (poles, boxes)
+            # bound the cache (long runs walk far): drop oldest tiles
+            if len(self._cache) > 4096:
+                self._cache.pop(next(iter(self._cache)))
+        return poles, boxes
 
     def _gather(self, o: np.ndarray):
         """All objects within max_range of the sensor at ``o``."""

@@ -62,11 +62,9 @@ def parse_xspace(logdir):
                 continue
             meta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
-                # XLA op lines carry per-op events; step/trace lines would
-                # double-count, so keep only op-level lines
-                if line.name not in ("XLA Ops", "XLA Modules", "Ops"):
-                    continue
-                if line.name == "XLA Modules":
+                # XLA op lines carry per-op events; module/step/trace lines
+                # would double-count the same time, so keep only op lines
+                if line.name not in ("XLA Ops", "Ops"):
                     continue
                 for ev in line.events:
                     per_op[meta.get(ev.metadata_id,

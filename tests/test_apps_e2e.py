@@ -79,6 +79,23 @@ def test_run_ouster_chunked_and_resume(tmp_path, capsys):
     np.testing.assert_allclose(p3[:, :, 3], p1[:, :, 3], atol=5e-3)
 
 
+def test_run_ouster_checkpoint_unaligned_with_chunk(tmp_path, capsys):
+    """Checkpoints must land when --checkpoint-every is NOT a multiple of
+    --chunk: flushes only happen at chunk boundaries, so a modulo test
+    never fires (regression: the old `(i+1) % every == 0` wrote ZERO
+    checkpoints for e.g. chunk=4/every=5 — save at the first flush at/after
+    each due point instead, like run_kitti's next_ck pattern)."""
+    ck = tmp_path / "ck"
+    base = ["--synthetic", "--frames", "6", "--width", "256",
+            "--local-map-size", "3"]
+    assert _run_ouster(base + ["--chunk", "4",
+                               "--checkpoint-dir", str(ck),
+                               "--checkpoint-every", "5"]) == 0
+    from liodom_tpu.runtime import checkpoint as CK
+    # due at frame 5; first flush at/after it is the final one (frame 6)
+    assert CK.latest_step(str(ck)) == 6
+
+
 def test_launch_single_process_smoke(monkeypatch, capsys):
     """`python -m liodom_tpu.parallel.launch -- smoke` on this host: no
     coordinator -> single process, mesh over all (virtual CPU) devices,

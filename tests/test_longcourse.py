@@ -60,6 +60,45 @@ def test_streamworld_keepout_clears_the_course():
     assert np.array_equal(poles, p2) and np.array_equal(boxes, b2)
 
 
+def test_streamworld_tile_cache_thread_safe():
+    """Render workers share one StreamWorld (run_longcourse/run_stream
+    thread pools); past 4096 cached tiles the bounded-cache eviction must
+    not race concurrent inserts/reads (regression: unlocked dict eviction
+    raised 'dictionary changed size during iteration' / KeyError on long
+    multi-worker courses)."""
+    import threading
+
+    import numpy as np
+    from liodom_tpu.core.synth import StreamWorld
+
+    w = StreamWorld(seed=0)
+    errors = []
+
+    def worker(base):
+        try:
+            # 4 workers x 1500 tiles = 6000 distinct tiles > the 4096 bound,
+            # with an overlapping band so reads race evictions
+            for k in range(1500):
+                w._tile_objects(base + k, 0)
+                if k % 7 == 0:
+                    w._tile_objects(k % 100, 1)   # shared hot band
+        except Exception as e:          # noqa: BLE001 — recorded for assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(1000 * t,))
+               for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # determinism survives eviction: regenerated tiles equal a fresh world's
+    w2 = StreamWorld(seed=0)
+    p1, b1 = w._tile_objects(3, 0)
+    p2, b2 = w2._tile_objects(3, 0)
+    assert np.array_equal(p1, p2) and np.array_equal(b1, b2)
+
+
 @pytest.mark.slow
 def test_longcourse_stream_no_uncounted_loss_bounded_drift(capsys):
     rc, s = _run([
@@ -77,6 +116,25 @@ def test_longcourse_stream_no_uncounted_loss_bounded_drift(capsys):
     # runs looser but must stay an order below the 1.2 m/frame motion)
     assert s["rpe1_m"] < 0.4, s
     assert s["ate_m"] < 4.0, s
+
+
+@pytest.mark.slow
+def test_longcourse_chunk_remainder_matches_per_frame(capsys):
+    """--chunk with frames % chunk != 0 routes the tail through the
+    per-frame step (a K'-sized chained trace would recompile the heaviest
+    program for a one-off chunk) and the trajectory matches the unchunked
+    run — every frame, including the remainder, must be stepped."""
+    base = ["--frames", "5", "--width", "600", "--ring-width", "1280",
+            "--local-map-size", "3", "--map-capacity", "65536",
+            "--local-map-capacity", "8192", "--sample-every", "5",
+            "--json"]
+    rc, s_pf = _run(base, capsys)
+    assert rc == 0
+    rc, s_ch = _run(base + ["--chunk", "3"], capsys)   # remainder of 2
+    assert rc == 0
+    assert s_ch["frames"] == s_pf["frames"] == 5
+    assert abs(s_ch["ate_m"] - s_pf["ate_m"]) < 5e-3, (s_ch, s_pf)
+    assert s_ch["map_leaves"] == s_pf["map_leaves"], (s_ch, s_pf)
 
 
 @pytest.mark.slow
